@@ -1,0 +1,75 @@
+"""gaussianprocesses_jl_tpu — a TPU-native Gaussian process inference engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of
+GaussianProcesses.jl (the STOR-i Julia package): exact GP regression (GPE),
+latent-variable GPs with non-Gaussian likelihoods (GPA) sampled by HMC and
+elliptical slice sampling, variational inference, sparse inducing-point
+approximations (SoR/DTC/FITC/FSA), cross-validation, and composite
+kernel/mean algebra — built on pure-functional pytree modules, `jax.grad`
+for every gradient the reference derives by hand, and `shard_map` + mesh
+collectives for multi-chip scaling.
+
+Typical usage:
+
+    import gaussianprocesses_jl_tpu as gp
+    k = gp.SE(0.0, 0.0) * gp.Periodic(0.0, 0.0, 1.0) + gp.RQ(0.0, 0.0, 0.0)
+    m = gp.GPE(x, y, gp.MeanZero(), k, lognoise=-1.0)
+    m.optimize()
+    mu, var = m.predict_y(xtest)
+"""
+
+from .ops.kernels import (
+    SE,
+    RQ,
+    Lin,
+    Matern,
+    SEIso,
+    SEArd,
+    Mat12Iso,
+    Mat32Iso,
+    Mat52Iso,
+    Mat12Ard,
+    Mat32Ard,
+    Mat52Ard,
+    RQIso,
+    RQArd,
+    Periodic,
+    LinIso,
+    LinArd,
+    Poly,
+    Noise,
+    Const,
+    SumKernel,
+    ProdKernel,
+    Masked,
+    FixedKernel,
+    Kernel,
+    fix,
+    free,
+)
+from .ops.means import (
+    Mean,
+    MeanZero,
+    MeanConst,
+    MeanLin,
+    MeanPoly,
+    MeanPeriodic,
+    SumMean,
+    ProdMean,
+)
+from .ops.likelihoods import (
+    Likelihood,
+    GaussLik,
+    BernLik,
+    PoisLik,
+    StuTLik,
+    ExpLik,
+    BinLik,
+)
+from .models.covariance import FullCovariance
+from .models.gpe import GPE, GP, GPEParams
+from .utils import priors
+from .utils.params import Param
+from .utils.modules import Module
+
+__version__ = "0.1.0"
