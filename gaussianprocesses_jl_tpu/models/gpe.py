@@ -198,6 +198,12 @@ class GPE:
 
     def set_params(self, hyp, noise=True, domean=True, kern=True):
         hyp = jnp.asarray(hyp)
+        expected = self.num_params(noise=noise, domean=domean, kern=kern)
+        if hyp.shape[0] != expected:
+            raise ValueError(
+                f"expected {expected} parameters for the selected blocks, "
+                f"got {hyp.shape[0]}"
+            )
         vec = self.params.flat_params()
         sl = self.params.block_slices()
         i = 0
@@ -258,10 +264,15 @@ class GPE:
         else:
             mu, cov = self.predict_f(xs, full_cov=True)
         n = xs.shape[0]
-        cov = cov + 1e-10 * jnp.eye(n, dtype=cov.dtype)  # ref nugget 1e-10
-        L = jnp.linalg.cholesky(cov)
+        # The reference Cholesky-samples with a 1e-10 nugget (f64 CPU,
+        # src/GP.jl:120-146). In f32 on TPU the posterior covariance can be
+        # slightly indefinite (whiten-subtract cancellation), so sample via
+        # an eigendecomposition with clamped spectrum instead — exact for a
+        # PSD input, robust for a near-PSD one.
+        w, U = jnp.linalg.eigh(cov)
+        scale = jnp.sqrt(jnp.maximum(w, 0.0))
         z = jax.random.normal(key, (n, n_samples), dtype=cov.dtype)
-        out = mu[:, None] + L @ z
+        out = mu[:, None] + U @ (scale[:, None] * z)
         return out[:, 0] if n_samples == 1 else out
 
     # -- data updates ------------------------------------------------------
