@@ -68,6 +68,20 @@ from .ops.likelihoods import (
 )
 from .models.covariance import FullCovariance
 from .models.gpe import GPE, GP, GPEParams
+from .models.gpa import GPA, GPAParams
+from .models.sparse import (
+    SoR,
+    DTC,
+    FITC,
+    FSA,
+    SubsetOfRegsStrategy,
+    DeterminTrainCondStrat,
+    FullyIndepStrat,
+    FullScaleApproxStrat,
+)
+from .inference.mcmc import mcmc, ess
+from .inference.optimize import optimize
+from .inference.vi import vi, elbo, Approx, vi_predict_f, vi_predict_y
 from .utils import priors
 from .utils.params import Param
 from .utils.modules import Module

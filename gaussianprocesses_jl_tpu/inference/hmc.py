@@ -1,0 +1,166 @@
+"""Hamiltonian Monte Carlo (ref: mcmc in src/mcmc.jl:7-84).
+
+Reference semantics preserved:
+  * vanilla HMC with randomized path length L ~ U{Lmin..Lmax} and fixed
+    step size eps (defaults eps=0.1, L in [5,15], nIter=1000);
+  * proposals whose target/gradient is non-finite (the reference's
+    PosDefException / ArgumentError catch, src/mcmc.jl:19-29) are rejected
+    outright, keeping the current state;
+  * the sample matrix includes the current state at every iteration
+    (the first reference iteration overwrites its seeded post[1,:]).
+
+TPU-first re-design:
+  * the whole chain is one `lax.scan`; the leapfrog loop is a fixed-length
+    scan of Lmax steps with per-step masking for the randomized L (dynamic
+    trip counts don't exist under jit/vmap — SURVEY §7 "hard parts");
+  * the sampler is a *pure function* of (logprob_fn, theta0, key), so
+    chains vectorize with `vmap` and shard over a device mesh with
+    `shard_map` (see parallel/).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["hmc", "HMCResult"]
+
+
+@dataclass
+class HMCResult:
+    samples: jnp.ndarray  # (n_iter, D)
+    accept_rate: jnp.ndarray  # ()
+    final: jnp.ndarray  # (D,)
+    final_target: jnp.ndarray  # ()
+
+
+jax.tree_util.register_dataclass(
+    HMCResult,
+    data_fields=["samples", "accept_rate", "final", "final_target"],
+    meta_fields=[],
+)
+
+
+def _finite(x):
+    return jnp.all(jnp.isfinite(x))
+
+
+def hmc_iteration(vg: Callable, theta, tgt, grad, key, eps, Lmin: int,
+                  Lmax: int):
+    """One HMC transition (the body of the reference's iteration loop,
+    src/mcmc.jl:42-76) as a pure reusable function.
+
+    Returns (theta', tgt', grad', accept_prob, accepted). Fixed-length
+    Lmax leapfrog with masking for the randomized L; non-finite proposals
+    reject outright."""
+    D = theta.shape[0]
+    eps = jnp.asarray(eps, dtype=theta.dtype)
+    k_mom, k_len, k_mh = jax.random.split(key, 3)
+    nu0 = jax.random.normal(k_mom, (D,), dtype=theta.dtype)
+    L = jax.random.randint(k_len, (), Lmin, Lmax + 1)
+
+    def leap_step(carry, l):
+        th, nu, g, t, bad = carry
+        active = jnp.logical_and(l < L, jnp.logical_not(bad))
+        th_n = th + eps * nu
+        t_n, g_n = vg(th_n)
+        ok = jnp.isfinite(t_n) & _finite(g_n) & _finite(th_n)
+        bad_n = jnp.where(active, jnp.logical_not(ok), bad)
+        use = active & ok
+        th = jnp.where(use, th_n, th)
+        g = jnp.where(use, g_n, g)
+        t = jnp.where(use, t_n, t)
+        nu = jnp.where(use, nu + eps * g_n, nu)
+        return (th, nu, g, t, bad_n), None
+
+    nu = nu0 + 0.5 * eps * grad
+    # derive the initial reject flag from the state (rather than a literal
+    # False) so its vma type matches under shard_map's varying-axis checks
+    bad0 = jnp.isnan(jnp.sum(theta))
+    (th, nu, g, t, bad), _ = jax.lax.scan(
+        leap_step, (theta, nu, grad, tgt, bad0), jnp.arange(Lmax))
+    nu = nu - 0.5 * eps * g
+
+    log_alpha = t - 0.5 * jnp.dot(nu, nu) - tgt + 0.5 * jnp.dot(nu0, nu0)
+    accept_prob = jnp.where(bad, 0.0,
+                            jnp.minimum(1.0, jnp.exp(jnp.minimum(
+                                log_alpha, 0.0))))
+    u = jnp.log(jax.random.uniform(k_mh, (), dtype=theta.dtype))
+    accepted = jnp.logical_and(u < log_alpha, jnp.logical_not(bad))
+    theta = jnp.where(accepted, th, theta)
+    tgt = jnp.where(accepted, t, tgt)
+    grad = jnp.where(accepted, g, grad)
+    return theta, tgt, grad, accept_prob, accepted
+
+
+@partial(jax.jit, static_argnames=("logprob_fn", "n_iter", "Lmin", "Lmax"))
+def hmc(logprob_fn: Callable, theta0, key, n_iter: int = 1000,
+        eps: float = 0.1, Lmin: int = 5, Lmax: int = 15) -> HMCResult:
+    """Run one HMC chain on `logprob_fn` starting at theta0.
+
+    logprob_fn: (D,) -> scalar log target (may be -inf / NaN on bad regions).
+    Returns all n_iter states (burn/thin are post-hoc slicing, as in the
+    reference).
+    """
+    theta0 = jnp.asarray(theta0)
+    D = theta0.shape[0]
+    vg = jax.value_and_grad(logprob_fn)
+    eps = jnp.asarray(eps, dtype=theta0.dtype)
+
+    t0, g0 = vg(theta0)
+    # a non-finite starting gradient (e.g. a -inf start from a failed f32
+    # Cholesky) would freeze the chain; zero it so finite proposals can be
+    # reached and accepted (any finite target beats -inf)
+    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+
+    def leap_step(carry, l):
+        theta, nu, grad, tgt, bad, L = carry
+        active = jnp.logical_and(l < L, jnp.logical_not(bad))
+        theta_n = theta + eps * nu
+        tgt_n, grad_n = vg(theta_n)
+        ok = jnp.isfinite(tgt_n) & _finite(grad_n) & _finite(theta_n)
+        bad_n = jnp.where(active, jnp.logical_not(ok), bad)
+        use = active & ok
+        theta = jnp.where(use, theta_n, theta)
+        grad = jnp.where(use, grad_n, grad)
+        tgt = jnp.where(use, tgt_n, tgt)
+        nu = jnp.where(use, nu + eps * grad_n, nu)
+        return (theta, nu, grad, tgt, bad_n, L), None
+
+    def one_iter(carry, key):
+        theta_cur, tgt_cur, grad_cur, acc = carry
+        k_mom, k_len, k_mh = jax.random.split(key, 3)
+        nu0 = jax.random.normal(k_mom, (D,), dtype=theta_cur.dtype)
+        L = jax.random.randint(k_len, (), Lmin, Lmax + 1)
+
+        nu = nu0 + 0.5 * eps * grad_cur
+        init = (theta_cur, nu, grad_cur, tgt_cur, jnp.asarray(False), L)
+        (theta, nu, grad, tgt, bad, _), _ = jax.lax.scan(
+            leap_step, init, jnp.arange(Lmax)
+        )
+        nu = nu - 0.5 * eps * grad
+
+        log_alpha = (tgt - 0.5 * jnp.dot(nu, nu)
+                     - tgt_cur + 0.5 * jnp.dot(nu0, nu0))
+        u = jnp.log(jax.random.uniform(k_mh, (), dtype=theta_cur.dtype))
+        accept = jnp.logical_and(u < log_alpha, jnp.logical_not(bad))
+
+        theta_cur = jnp.where(accept, theta, theta_cur)
+        tgt_cur = jnp.where(accept, tgt, tgt_cur)
+        grad_cur = jnp.where(accept, grad, grad_cur)
+        acc = acc + accept
+        return (theta_cur, tgt_cur, grad_cur, acc), theta_cur
+
+    keys = jax.random.split(key, n_iter)
+    (theta_f, tgt_f, _, acc), samples = jax.lax.scan(
+        one_iter, (theta0, t0, g0, jnp.zeros((), dtype=jnp.int32)), keys
+    )
+    return HMCResult(
+        samples=samples,
+        accept_rate=acc / n_iter,
+        final=theta_f,
+        final_target=tgt_f,
+    )

@@ -64,14 +64,19 @@ def optimize(gp, method: str = "lbfgs", maxiter: int = 200, tol: float = 1e-8,
     """
     flag_names = gp.block_flag_names()  # e.g. ('noise','domean','kern')
     flags = {n: bool(kwargs.pop(n, True)) for n in flag_names}
-    bounds_per = [kwargs.pop(f"{n.replace('domean', 'mean')}bounds", None)
-                  for n in flag_names]
+    bounds_map = {
+        n: kwargs.pop(f"{n.replace('domean', 'mean')}bounds", None)
+        for n in flag_names
+    }
     if kwargs:
         raise TypeError(f"unknown optimize() arguments: {sorted(kwargs)}")
 
     vg, x0, embed, active_blocks = gp.make_objective(**flags)
-    bounds_per = [b for (f, b) in zip(flags.values(), bounds_per) if f]
-    bounds = _assemble_bounds(active_blocks, bounds_per)
+    # blocks not named by a flag (e.g. GPA's always-free 'process' latents)
+    # get no bounds
+    bounds = _assemble_bounds(
+        active_blocks, [bounds_map.get(name) for name, _ in active_blocks]
+    )
 
     if x0.shape[0] == 0:
         return OptimizeResult(True, float(-gp.target), float(gp.target),

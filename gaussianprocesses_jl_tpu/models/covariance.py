@@ -7,7 +7,7 @@ generic over it. Here a strategy is a pytree module exposing
 
   build(kernel, noise_var, X) -> PD        factorized train covariance
   pd.solve(B) / pd.logdet() / pd.quad(y)   the PDMat protocol subset
-  predict_mvn(pd, kernel, X, alpha, Xs, full_cov) -> (mu_adj, cov/var)
+  predict_mvn(pd, kernel, X, r, alpha, Xs, full_cov) -> (mu_adj, cov/var)
 
 `FullCovariance` (dense, exact — ref src/GP.jl:22) lives here; the
 inducing-point strategies (SoR/DTC/FITC/FSA — ref src/sparse/*.jl) implement
@@ -73,10 +73,13 @@ class FullCovariance(Module):
         L, ok = safe_cholesky(add_diag(K, noise_var))
         return DensePD(L=L, ok=ok)
 
-    def predict_mvn(self, pd: DensePD, kernel, X, alpha, Xs, full_cov: bool):
+    def predict_mvn(self, pd: DensePD, kernel, X, r, alpha, Xs,
+                    full_cov: bool):
         """Batched posterior MVN at test points (ref predictMVN,
         src/GP.jl:25-55) — returns (crossterm_mu, cov_or_var) where
         crossterm_mu = K(Xs,X) alpha and the caller adds the prior mean.
+        `r = y - mean` is unused here but needed by the sparse strategies
+        (their predictive works through alpha_u = SigmaQR^-1 Kuf Lam^-1 r).
 
         Unlike the reference's pointwise loop for diagonal prediction
         (ref src/GP.jl:69-77), the diagonal path here is one batched

@@ -64,16 +64,20 @@ def gpe_factorize(params: GPEParams, X, covstrat):
 
 def gpe_mll(params: GPEParams, X, y, covstrat=FullCovariance()):
     """Marginal log likelihood -1/2 (r^T a + logdet + n log 2pi)
-    (ref update_mll!, src/GPE.jl:202-212). Returns (mll, (pd, alpha, mu));
+    (ref update_mll!, src/GPE.jl:202-212). Returns (mll, (pd, mu));
     mll is -inf when the factorization failed."""
     pd = gpe_factorize(params, X, covstrat)
     mu = params.mean.mean(X)
     r = y - mu
-    alpha = pd.solve(r)
     n = y.shape[0]
-    mll = -0.5 * (jnp.dot(r, alpha) + pd.logdet() + n * _LOG_2PI)
-    mll = jnp.where(pd.ok, mll, -jnp.inf)
-    return mll, (pd, alpha, mu)
+    quad = pd.quad(r)  # strategies provide a cancellation-stable form
+    logdet = pd.logdet()
+    mll = -0.5 * (quad + logdet + n * _LOG_2PI)
+    # a negative quadratic form or non-finite pieces mean the factorization
+    # is numerically invalid: treat like the reference's PosDefException
+    valid = pd.ok & (quad >= 0.0) & jnp.isfinite(quad) & jnp.isfinite(logdet)
+    mll = jnp.where(valid, mll, -jnp.inf)
+    return mll, (pd, mu)
 
 
 def gpe_target(params: GPEParams, X, y, covstrat=FullCovariance()):
@@ -90,7 +94,8 @@ def gpe_predict_f(params: GPEParams, X, y, Xs, covstrat=FullCovariance(),
     pd = gpe_factorize(params, X, covstrat)
     r = y - params.mean.mean(X)
     alpha = pd.solve(r)
-    mu_cross, cov = covstrat.predict_mvn(pd, params.kernel, X, alpha, Xs, full_cov)
+    mu_cross, cov = covstrat.predict_mvn(pd, params.kernel, X, r, alpha, Xs,
+                                         full_cov)
     mu = params.mean.mean(Xs) + mu_cross
     return mu, cov
 
@@ -298,14 +303,11 @@ class GPE:
     def block_flag_names(self):
         return ("noise", "domean", "kern")
 
-    def make_objective(self, noise=True, domean=True, kern=True):
-        """Build (value_and_grad(sub), x0, embed, active_blocks) over the
-        selected parameter blocks — the per-evaluation closure of
-        ref get_optim_target (src/optimize.jl:39-97)."""
+    def _block_plumbing(self, flags):
+        """(embed, x0, active_blocks) over the selected parameter blocks."""
         full0 = self.params.flat_params()
         sls = self.params.block_slices()
         names = self.block_flag_names()
-        flags = (noise, domean, kern)
         active = [(n, s) for n, s, f in zip(names, sls, flags) if f]
 
         def embed(sub):
@@ -317,19 +319,36 @@ class GPE:
                 i += m
             return vec
 
-        base, X, y, cs = self.params, self.x, self.y, self.covstrat
-
-        @jax.jit
-        def vg(sub):
-            def negtarget(sv):
-                p = base.with_flat_params(embed(sv))
-                return -gpe_target(p, X, y, cs)[0]
-
-            return jax.value_and_grad(negtarget)(sub)
-
         x0 = jnp.concatenate([full0[s] for _, s in active]) if active else (
             jnp.zeros((0,)))
         blocks = [(n, s.stop - s.start) for n, s in active]
+        return embed, x0, blocks
+
+    def make_logprob(self, noise=True, domean=True, kern=True, *,
+                     include_priors=True):
+        """Pure log-target over the selected blocks (for samplers)."""
+        embed, x0, blocks = self._block_plumbing((noise, domean, kern))
+        base, X, y, cs = self.params, self.x, self.y, self.covstrat
+
+        def logprob(sub):
+            p = base.with_flat_params(embed(sub))
+            if include_priors:
+                return gpe_target(p, X, y, cs)[0]
+            return gpe_mll(p, X, y, cs)[0]
+
+        return logprob, x0, embed, blocks
+
+    def make_objective(self, noise=True, domean=True, kern=True):
+        """Build (value_and_grad(sub), x0, embed, active_blocks) over the
+        selected parameter blocks — the per-evaluation closure of
+        ref get_optim_target (src/optimize.jl:39-97)."""
+        logprob, x0, embed, blocks = self.make_logprob(
+            noise=noise, domean=domean, kern=kern)
+
+        @jax.jit
+        def vg(sub):
+            return jax.value_and_grad(lambda s: -logprob(s))(sub)
+
         return vg, x0, embed, blocks
 
     # -- optimization / sampling entry points (delegate to inference/) -----
@@ -349,6 +368,12 @@ class GPE:
         )
 
 
-def GP(x, y, mean=None, kernel=None, lognoise=-2.0):
-    """Convenience constructor (ref GP(x,y,...) = GPE, src/GPE.jl:119-120)."""
+def GP(x, y, mean=None, kernel=None, lik=None, lognoise=-2.0):
+    """Convenience constructor: GPE for Gaussian observations, GPA when a
+    likelihood is given (ref GP dispatch, src/GPE.jl:119-120 and
+    src/GPA.jl:88-95)."""
+    if lik is not None:
+        from .gpa import GPA
+
+        return GPA(x, y, mean, kernel, lik)
     return GPE(x, y, mean=mean, kernel=kernel, lognoise=lognoise)

@@ -27,7 +27,17 @@ __all__ = [
     "chol_solve",
     "chol_logdet",
     "symmetrize",
+    "default_jitter",
 ]
+
+
+def default_jitter(dtype) -> float:
+    """Stabilizing nugget matched to the working precision.
+
+    The reference uses an absolute 1e-10 everywhere (f64 CPU; e.g.
+    src/sparse update_cK! nuggets). In f32 on TPU that is below the
+    rounding noise of a smooth gram matrix, so scale it up."""
+    return 1e-10 if jnp.dtype(dtype) == jnp.float64 else 1e-5
 
 
 def add_diag(K: jnp.ndarray, v) -> jnp.ndarray:
