@@ -1,0 +1,119 @@
+"""Headline benchmark: one marginal-likelihood + gradient evaluation
+(`update_mll_and_dmll!`) on the reference's published configuration —
+d=10 covariates, n=3000 observations, SE kernel, min over 20 trials
+(ref: perf/README.md:1-8, perf/benchmarks/benchmark_julia.jl:27-46).
+
+Reference (Julia, CPU): 800 ms for the `se` row (BASELINE.md). Prints one
+JSON line: value = our wall time in ms, vs_baseline = reference_ms / ours
+(higher is better).
+
+Run `python bench.py --full` for the whole kernel table from BASELINE.md.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+REF_MS = {  # BASELINE.md published times (ms)
+    "fix(se)": 730.0,
+    "mask(se)": 819.0,
+    "se": 800.0,
+    "mat12": 836.0,
+    "rq": 1252.0,
+    "se+rq": 1351.0,
+    "mask(se)+mask(rq)": 1562.0,
+    "se*rq": 1614.0,
+    "se+se2+rq": 1682.0,
+    "(se+se2)*rq": 1977.0,
+}
+
+
+def kernels(gp, jnp):
+    d = 10
+    se = gp.SE(0.0, 0.0)
+    se2 = gp.SE(0.5, 0.2)
+    rq = gp.RQ(0.0, 0.0, 0.0)
+    return {
+        "fix(se)": gp.fix(gp.SE(0.0, 0.0), "lsigma"),
+        "mask(se)": gp.Masked(gp.SE(0.0, 0.0), active_dims=(0,)),
+        "se": se,
+        "mat12": gp.Matern(0.5, 0.0, 0.0),
+        "rq": rq,
+        "se+rq": se + rq,
+        "mask(se)+mask(rq)": gp.Masked(gp.SE(0.0, 0.0), (0,))
+        + gp.Masked(gp.RQ(0.0, 0.0, 0.0), tuple(range(1, d))),
+        "se*rq": se * rq,
+        "se+se2+rq": se + se2 + rq,
+        "(se+se2)*rq": (se + se2) * rq,
+    }
+
+
+def bench_one(name, kern, X, y, n_trials=20):
+    import jax
+    import jax.numpy as jnp
+
+    import gaussianprocesses_jl_tpu as gp
+    from gaussianprocesses_jl_tpu.models.covariance import FullCovariance
+    from gaussianprocesses_jl_tpu.models.gpe import GPEParams, gpe_mll
+    from gaussianprocesses_jl_tpu.utils.params import wrap_param
+
+    params = GPEParams(lognoise=wrap_param(-1.0), mean=gp.MeanZero(),
+                       kernel=kern)
+    cs = FullCovariance()
+    vec = params.flat_params()
+
+    @jax.jit
+    def mll_and_grad(v, X, y):
+        def f(v):
+            return gpe_mll(params.with_flat_params(v), X, y, cs)[0]
+
+        return jax.value_and_grad(f)(v)
+
+    # warmup/compile
+    out = mll_and_grad(vec, X, y)
+    jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        out = mll_and_grad(vec, X, y)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3, float(out[0])
+
+
+def main():
+    full = "--full" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    import gaussianprocesses_jl_tpu as gp
+
+    rng = np.random.RandomState(42)
+    n, d = 3000, 10
+    X = jnp.asarray(rng.randn(n, d), dtype=jnp.float32)
+    y = jnp.asarray(rng.randn(n), dtype=jnp.float32)
+
+    ks = kernels(gp, jnp)
+    rows = {}
+    names = list(ks) if full else ["se"]
+    for name in names:
+        ms, mll = bench_one(name, ks[name], X, y)
+        rows[name] = ms
+        if full:
+            print(f"# {name:22s} {ms:9.2f} ms   (ref {REF_MS[name]:7.1f} ms, "
+                  f"speedup {REF_MS[name] / ms:6.1f}x)  mll={mll:.2f}",
+                  file=sys.stderr)
+
+    ms = rows["se"]
+    print(json.dumps({
+        "metric": "mll+grad wall time (se kernel, d=10, n=3000, min of 20)",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(REF_MS["se"] / ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

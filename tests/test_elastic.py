@@ -1,0 +1,76 @@
+"""Elastic (incremental) GPE tests (mirror of reference test/elastic.jl):
+incremental append == batch GP for Cholesky factor, alpha, mll, and
+predictions, across means x kernels; plus bucket growth."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gaussianprocesses_jl_tpu as gp
+from gaussianprocesses_jl_tpu.models.elastic import ElasticGPE
+
+
+CASES = [
+    (gp.MeanZero(), gp.SE(0.2, 0.1)),
+    (gp.MeanConst(beta=jnp.asarray(0.3)), gp.Matern(1.5, 0.1, 0.0)),
+    (gp.MeanZero(), gp.RQ(0.1, 0.0, -0.2)),
+    (gp.MeanZero(), gp.SE(0.2, 0.1) + gp.Matern(0.5, 0.0, 0.0)),
+]
+
+
+@pytest.mark.parametrize("mean,kern", CASES,
+                         ids=["se", "const-mat32", "rq", "sum"])
+def test_incremental_equals_batch(mean, kern):
+    rng = np.random.RandomState(0)
+    n, d = 24, 2
+    X = rng.randn(n, d)
+    y = np.sin(X[:, 0]) + 0.2 * rng.randn(n)
+
+    eg = ElasticGPE(d, mean=mean, kernel=kern, lognoise=-1.0,
+                    capacity=32, stepsize=16)
+    eg.append(X[:10], y[:10])
+    eg.append(X[10:17], y[10:17])
+    eg.append(X[17:], y[17:])
+
+    batch = gp.GPE(X, y, mean=mean, kernel=kern, lognoise=-1.0)
+    from gaussianprocesses_jl_tpu.models.gpe import gpe_factorize
+
+    pd = gpe_factorize(batch.params, batch.x, batch.covstrat)
+    assert np.allclose(np.asarray(eg.chol), np.asarray(pd.L), atol=1e-8)
+    assert np.allclose(float(eg.mll), float(batch.mll), atol=1e-8)
+    r = batch.y - batch.params.mean.mean(batch.x)
+    assert np.allclose(np.asarray(eg.alpha), np.asarray(pd.solve(r)),
+                       atol=1e-8)
+    xs = rng.randn(5, d)
+    mu_e, var_e = eg.predict_f(xs)
+    mu_b, var_b = batch.predict_f(xs)
+    assert np.allclose(np.asarray(mu_e), np.asarray(mu_b), atol=1e-8)
+    assert np.allclose(np.asarray(var_e), np.asarray(var_b), atol=1e-8)
+
+
+def test_capacity_growth():
+    rng = np.random.RandomState(1)
+    eg = ElasticGPE(1, kernel=gp.SE(0.0, 0.0), lognoise=-1.0,
+                    capacity=8, stepsize=8)
+    X = rng.randn(30, 1)
+    y = np.sin(X[:, 0])
+    for i in range(0, 30, 5):
+        eg.append(X[i : i + 5], y[i : i + 5])
+    assert eg.nobs == 30
+    assert eg.capacity >= 30
+    batch = gp.GPE(X, y, kernel=gp.SE(0.0, 0.0), lognoise=-1.0)
+    assert np.allclose(float(eg.mll), float(batch.mll), atol=1e-8)
+
+
+def test_set_params_invalidates():
+    rng = np.random.RandomState(2)
+    eg = ElasticGPE(1, kernel=gp.SE(0.0, 0.0), lognoise=-1.0, capacity=16)
+    eg.append(rng.randn(10, 1), rng.randn(10))
+    v = eg.get_params()
+    eg.set_params(v + 0.3)
+    batch = gp.GPE(np.asarray(eg.x), np.asarray(eg.y),
+                   kernel=eg.params.kernel,
+                   lognoise=float(np.asarray(eg.lognoise)))
+    assert np.allclose(float(eg.mll), float(batch.mll), atol=1e-8)
+    # optimize works end to end after appends (ref elastic.jl post-optimize)
+    eg.optimize(maxiter=20)
+    assert np.isfinite(float(eg.mll))
