@@ -1,0 +1,50 @@
+"""Poisson regression — GPA with exp-link Poisson likelihood, comparing
+MCMC and variational inference (reference "Poisson regression.ipynb" /
+BASELINE config #3, coal-disasters shaped)."""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+import gaussianprocesses_jl_tpu as gp
+
+CSV = "/root/reference/notebooks/data/coal.csv"
+
+
+def load_counts():
+    if os.path.exists(CSV):
+        # coal.csv rows are (year, disaster count)
+        data = np.loadtxt(CSV, delimiter=",")
+        return data[:, 0:1], data[:, 1].astype(float)
+    rng = np.random.RandomState(3)
+    t = np.linspace(0, 10, 50)
+    f = 1.2 + 0.8 * np.sin(t)
+    return t[:, None], rng.poisson(np.exp(f)).astype(float)
+
+
+def main(n_iter=500, vi_iters=300):
+    X, y = load_counts()
+    X = (X - X.mean()) / X.std()
+    kern = gp.Matern(1.5, 0.0, 0.0)
+    m = gp.GPA(X, y, gp.MeanZero(), kern, gp.PoisLik())
+
+    res = gp.mcmc(m, jax.random.PRNGKey(0), n_iter=n_iter, eps=0.05,
+                  burn=n_iter // 5)
+    mu_mcmc, _ = m.predict_y(X)
+
+    Q = gp.vi(m, nits=vi_iters)
+    mu_vi, _ = gp.vi_predict_y(m, Q, X)
+
+    c_m = float(np.corrcoef(np.asarray(mu_mcmc), y)[0, 1])
+    c_v = float(np.corrcoef(np.asarray(mu_vi), y)[0, 1])
+    print(f"rate corr with counts — mcmc: {c_m:.3f}, vi: {c_v:.3f}, "
+          f"elbo: {float(gp.elbo(m, Q.m, Q.v)):.2f}")
+    return c_m, c_v
+
+
+if __name__ == "__main__":
+    main()
