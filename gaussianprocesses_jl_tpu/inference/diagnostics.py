@@ -1,0 +1,68 @@
+"""Sampler diagnostics: effective sample size and split-R-hat.
+
+The reference prints only acceptance rates (ref src/mcmc.jl:79-82). The
+BASELINE metric for this package is *effective samples per second per
+chip*, so ESS is first-class: Geyer initial-monotone-sequence estimator
+computed via FFT autocorrelation, vectorized over chains and dimensions."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["effective_sample_size", "split_rhat"]
+
+
+def _autocorr(x):
+    """Autocorrelation function of a 1-D series via FFT."""
+    n = x.shape[0]
+    x = x - jnp.mean(x)
+    nfft = 2 * n
+    f = jnp.fft.rfft(x, nfft)
+    acov = jnp.fft.irfft(f * jnp.conj(f), nfft)[:n].real
+    return acov / acov[0]
+
+
+def effective_sample_size(samples):
+    """ESS per dimension.
+
+    samples: (n_draws, D) single chain or (C, n_draws, D) multi-chain
+    (chains pooled by averaging autocorrelations, as in Stan).
+    Returns (D,) effective sample sizes."""
+    samples = jnp.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[None]
+    C, n, D = samples.shape
+
+    rho = jax.vmap(jax.vmap(_autocorr, in_axes=1, out_axes=1))(samples)
+    rho = jnp.mean(rho, axis=0)  # (n, D) chain-averaged
+
+    # Geyer: sum consecutive pairs while they stay positive
+    n_pairs = n // 2
+    pair = rho[0 : 2 * n_pairs : 2] + rho[1 : 2 * n_pairs : 2]  # (n_pairs, D)
+    pos = pair > 0
+    # keep pairs up to the first non-positive one
+    keep = jnp.cumprod(pos, axis=0).astype(rho.dtype)
+    tau = -1.0 + 2.0 * jnp.sum(pair * keep, axis=0)
+    tau = jnp.maximum(tau, 1.0 / n)
+    return C * n / tau
+
+
+def split_rhat(samples):
+    """Split-R-hat convergence diagnostic.
+
+    samples: (C, n_draws, D). Returns (D,)."""
+    samples = jnp.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[None]
+    C, n, D = samples.shape
+    half = n // 2
+    s = jnp.concatenate(
+        [samples[:, :half], samples[:, half : 2 * half]], axis=0
+    )  # (2C, half, D)
+    m = s.shape[0]
+    chain_mean = jnp.mean(s, axis=1)  # (2C, D)
+    chain_var = jnp.var(s, axis=1, ddof=1)
+    W = jnp.mean(chain_var, axis=0)
+    B = half * jnp.var(chain_mean, axis=0, ddof=1)
+    var_plus = (half - 1) / half * W + B / half
+    return jnp.sqrt(var_plus / jnp.maximum(W, 1e-30))

@@ -1,0 +1,62 @@
+"""Diagnostics + checkpoint tests."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianprocesses_jl_tpu.inference.diagnostics import (
+    effective_sample_size,
+    split_rhat,
+)
+from gaussianprocesses_jl_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_ess_iid_near_n():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4000, 2))
+    ess = np.asarray(effective_sample_size(x))
+    assert np.all(ess > 2500)  # iid -> ESS ~ n
+
+
+def test_ess_correlated_low():
+    rng = np.random.RandomState(1)
+    n = 4000
+    rho = 0.95
+    z = np.zeros(n)
+    for i in range(1, n):
+        z[i] = rho * z[i - 1] + rng.randn() * np.sqrt(1 - rho**2)
+    ess = float(effective_sample_size(jnp.asarray(z)[:, None])[0])
+    # AR(1) tau = (1+rho)/(1-rho) = 39 -> ESS ~ 100
+    assert 40 < ess < 400
+
+
+def test_rhat_converged_vs_not():
+    rng = np.random.RandomState(2)
+    good = jnp.asarray(rng.randn(4, 1000, 2))
+    r = np.asarray(split_rhat(good))
+    assert np.all(r < 1.05)
+    bad = good + jnp.arange(4.0)[:, None, None] * 5.0
+    r = np.asarray(split_rhat(bad))
+    assert np.all(r > 1.5)
+
+
+def test_checkpoint_roundtrip():
+    state = {
+        "theta": jnp.arange(6.0).reshape(2, 3),
+        "eps": jnp.asarray(0.1),
+        "key": jax.random.PRNGKey(7),
+        "nested": {"acc": jnp.asarray([1, 2, 3])},
+    }
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "chk.npz")
+        save_checkpoint(path, state)
+        like = jax.tree_util.tree_map(jnp.zeros_like, state)
+        restored = load_checkpoint(path, like)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
