@@ -67,8 +67,9 @@ from .ops.likelihoods import (
     BinLik,
 )
 from .models.covariance import FullCovariance
-from .models.gpe import GPE, GP, GPEParams
+from .models.gpe import GPE, GP, GPEParams, noise_variance
 from .models.gpa import GPA, GPAParams
+from .models.elastic import ElasticGPE
 from .models.sparse import (
     SoR,
     DTC,
@@ -82,8 +83,20 @@ from .models.sparse import (
 from .inference.mcmc import mcmc, ess
 from .inference.optimize import optimize
 from .inference.vi import vi, elbo, Approx, vi_predict_f, vi_predict_y
+from .inference.crossvalidation import (
+    predict_LOO,
+    logp_LOO,
+    dlogp_LOO,
+    predict_CVfold,
+    logp_CVfold,
+    dlogp_CVfold,
+)
+from .inference.diagnostics import effective_sample_size, split_rhat
 from .utils import priors
+from .utils.checkpoint import save_checkpoint, load_checkpoint
 from .utils.params import Param
 from .utils.modules import Module
+from .plot import plot_gp, plot_gp_2d
+from .sklearn import GPRegressor
 
 __version__ = "0.1.0"

@@ -28,7 +28,8 @@ from ..utils.modules import Module, module, replace
 from ..utils.params import Param, wrap_param
 from .covariance import FullCovariance
 
-__all__ = ["GPEParams", "GPE", "GP", "gpe_mll", "gpe_target", "gpe_predict_f"]
+__all__ = ["GPEParams", "GPE", "GP", "gpe_mll", "gpe_target", "gpe_predict_f",
+           "noise_variance"]
 
 _LOG_2PI = jnp.log(2.0 * jnp.pi)
 
@@ -377,3 +378,9 @@ def GP(x, y, mean=None, kernel=None, lik=None, lognoise=-2.0):
 
         return GPA(x, y, mean, kernel, lik)
     return GPE(x, y, mean=mean, kernel=kernel, lognoise=lognoise)
+
+
+def noise_variance(gp):
+    """Observation-noise variance exp(2*logNoise) — scalar, or a vector for
+    heteroscedastic models (ref noise_variance, src/GPE.jl:269-271)."""
+    return _noise_var(gp.lognoise)

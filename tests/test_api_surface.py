@@ -1,0 +1,52 @@
+"""The top-level namespace must cover the reference's export list
+(ref: src/GaussianProcesses.jl:14-18) plus this package's additions."""
+import gaussianprocesses_jl_tpu as gp
+
+# reference exports, translated (mutating-bang names -> method/function form;
+# `lss` is a dead export in the reference — it exports a function that is
+# never defined — so it is intentionally absent here)
+REFERENCE_SURFACE = [
+    "GP", "GPE", "GPA", "ElasticGPE", "Approx",
+    "Kernel", "Likelihood", "SumKernel", "ProdKernel", "Masked",
+    "FixedKernel", "fix", "free",
+    "Noise", "Const", "SE", "SEIso", "SEArd", "Periodic", "Poly",
+    "RQ", "RQIso", "RQArd", "Lin", "LinIso", "LinArd",
+    "Matern", "Mat12Iso", "Mat12Ard", "Mat32Iso", "Mat32Ard",
+    "Mat52Iso", "Mat52Ard",
+    "MeanZero", "MeanConst", "MeanLin", "MeanPoly", "SumMean", "ProdMean",
+    "MeanPeriodic",
+    "GaussLik", "BernLik", "ExpLik", "StuTLik", "PoisLik", "BinLik",
+    "mcmc", "ess", "optimize", "vi", "elbo", "noise_variance",
+]
+
+ADDITIONS = [
+    "SoR", "DTC", "FITC", "FSA",
+    "predict_LOO", "logp_LOO", "dlogp_LOO",
+    "predict_CVfold", "logp_CVfold", "dlogp_CVfold",
+    "effective_sample_size", "split_rhat",
+    "save_checkpoint", "load_checkpoint",
+    "plot_gp", "plot_gp_2d", "GPRegressor",
+    "vi_predict_f", "vi_predict_y", "Param", "Module", "priors",
+]
+
+
+def test_reference_export_surface():
+    missing = [n for n in REFERENCE_SURFACE if not hasattr(gp, n)]
+    assert not missing, f"missing reference exports: {missing}"
+
+
+def test_package_additions():
+    missing = [n for n in ADDITIONS if not hasattr(gp, n)]
+    assert not missing, f"missing package exports: {missing}"
+
+
+def test_model_methods():
+    # set_priors!/set_params!/update_target!/predict_f/predict_y map to
+    # GPE/GPA methods
+    for meth in ["set_params", "predict_f", "predict_y", "optimize", "rand"]:
+        assert hasattr(gp.GPE, meth), meth
+    for meth in ["set_params", "predict_f", "predict_y"]:
+        assert hasattr(gp.GPA, meth), meth
+    # var_exp / dv_var_exp are likelihood methods (ref exports functions)
+    assert hasattr(gp.PoisLik, "var_exp")
+    assert hasattr(gp.PoisLik, "dv_var_exp")
