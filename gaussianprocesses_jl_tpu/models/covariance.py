@@ -23,6 +23,7 @@ from ..ops.linalg import (
     add_diag,
     chol_logdet,
     chol_solve,
+    dense_quad_logdet,
     safe_cholesky,
     solve_lower,
 )
@@ -72,6 +73,13 @@ class FullCovariance(Module):
         K = kernel.gram(X)
         L, ok = safe_cholesky(add_diag(K, noise_var))
         return DensePD(L=L, ok=ok)
+
+    def quad_logdet(self, kernel, noise_var, X, r):
+        """Fused (r^T K^-1 r, logdet K, ok) for the mll hot path, with the
+        MXU-friendly custom VJP (see ops.linalg.dense_quad_logdet) in place
+        of the Cholesky-VJP triangular solves."""
+        K = add_diag(kernel.gram(X), noise_var)
+        return dense_quad_logdet(K, r)
 
     def predict_mvn(self, pd: DensePD, kernel, X, r, alpha, Xs,
                     full_cov: bool):

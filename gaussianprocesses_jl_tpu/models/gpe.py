@@ -66,17 +66,26 @@ def gpe_factorize(params: GPEParams, X, covstrat):
 def gpe_mll(params: GPEParams, X, y, covstrat=FullCovariance()):
     """Marginal log likelihood -1/2 (r^T a + logdet + n log 2pi)
     (ref update_mll!, src/GPE.jl:202-212). Returns (mll, (pd, mu));
-    mll is -inf when the factorization failed."""
-    pd = gpe_factorize(params, X, covstrat)
+    mll is -inf when the factorization failed. pd in the aux is None for
+    strategies with a fused quad_logdet fast path (nothing consumes it —
+    use gpe_factorize to get the factorization)."""
     mu = params.mean.mean(X)
     r = y - mu
     n = y.shape[0]
-    quad = pd.quad(r)  # strategies provide a cancellation-stable form
-    logdet = pd.logdet()
+    fused = getattr(covstrat, "quad_logdet", None)
+    if fused is not None:
+        quad, logdet, ok = fused(
+            params.kernel, _noise_var(params.lognoise.value), X, r)
+        pd = None
+    else:
+        pd = gpe_factorize(params, X, covstrat)
+        quad = pd.quad(r)  # strategies provide a cancellation-stable form
+        logdet = pd.logdet()
+        ok = pd.ok
     mll = -0.5 * (quad + logdet + n * _LOG_2PI)
     # a negative quadratic form or non-finite pieces mean the factorization
     # is numerically invalid: treat like the reference's PosDefException
-    valid = pd.ok & (quad >= 0.0) & jnp.isfinite(quad) & jnp.isfinite(logdet)
+    valid = ok & (quad >= 0.0) & jnp.isfinite(quad) & jnp.isfinite(logdet)
     mll = jnp.where(valid, mll, -jnp.inf)
     return mll, (pd, mu)
 
