@@ -30,11 +30,12 @@ class ESSResult:
     samples: jnp.ndarray  # (n_iter, D)
     mean_proposals: jnp.ndarray  # () average shrinkage proposals per iter
     final: jnp.ndarray  # (D,)
+    final_loglik: jnp.ndarray  # () mll at the final state (chain selection)
 
 
 jax.tree_util.register_dataclass(
     ESSResult,
-    data_fields=["samples", "mean_proposals", "final"],
+    data_fields=["samples", "mean_proposals", "final", "final_loglik"],
     meta_fields=[],
 )
 
@@ -96,4 +97,5 @@ def ess(loglik_fn: Callable, theta0, prior_mu, prior_sigma, key,
         samples=samples,
         mean_proposals=jnp.mean(props.astype(jnp.float32)),
         final=final,
+        final_loglik=safe_ll(final),
     )

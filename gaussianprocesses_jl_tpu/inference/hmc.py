@@ -106,7 +106,6 @@ def hmc(logprob_fn: Callable, theta0, key, n_iter: int = 1000,
     reference).
     """
     theta0 = jnp.asarray(theta0)
-    D = theta0.shape[0]
     vg = jax.value_and_grad(logprob_fn)
     eps = jnp.asarray(eps, dtype=theta0.dtype)
 
@@ -116,42 +115,11 @@ def hmc(logprob_fn: Callable, theta0, key, n_iter: int = 1000,
     # reached and accepted (any finite target beats -inf)
     g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
 
-    def leap_step(carry, l):
-        theta, nu, grad, tgt, bad, L = carry
-        active = jnp.logical_and(l < L, jnp.logical_not(bad))
-        theta_n = theta + eps * nu
-        tgt_n, grad_n = vg(theta_n)
-        ok = jnp.isfinite(tgt_n) & _finite(grad_n) & _finite(theta_n)
-        bad_n = jnp.where(active, jnp.logical_not(ok), bad)
-        use = active & ok
-        theta = jnp.where(use, theta_n, theta)
-        grad = jnp.where(use, grad_n, grad)
-        tgt = jnp.where(use, tgt_n, tgt)
-        nu = jnp.where(use, nu + eps * grad_n, nu)
-        return (theta, nu, grad, tgt, bad_n, L), None
-
     def one_iter(carry, key):
         theta_cur, tgt_cur, grad_cur, acc = carry
-        k_mom, k_len, k_mh = jax.random.split(key, 3)
-        nu0 = jax.random.normal(k_mom, (D,), dtype=theta_cur.dtype)
-        L = jax.random.randint(k_len, (), Lmin, Lmax + 1)
-
-        nu = nu0 + 0.5 * eps * grad_cur
-        init = (theta_cur, nu, grad_cur, tgt_cur, jnp.asarray(False), L)
-        (theta, nu, grad, tgt, bad, _), _ = jax.lax.scan(
-            leap_step, init, jnp.arange(Lmax)
-        )
-        nu = nu - 0.5 * eps * grad
-
-        log_alpha = (tgt - 0.5 * jnp.dot(nu, nu)
-                     - tgt_cur + 0.5 * jnp.dot(nu0, nu0))
-        u = jnp.log(jax.random.uniform(k_mh, (), dtype=theta_cur.dtype))
-        accept = jnp.logical_and(u < log_alpha, jnp.logical_not(bad))
-
-        theta_cur = jnp.where(accept, theta, theta_cur)
-        tgt_cur = jnp.where(accept, tgt, tgt_cur)
-        grad_cur = jnp.where(accept, grad, grad_cur)
-        acc = acc + accept
+        theta_cur, tgt_cur, grad_cur, _, accepted = hmc_iteration(
+            vg, theta_cur, tgt_cur, grad_cur, key, eps, Lmin, Lmax)
+        acc = acc + accepted
         return (theta_cur, tgt_cur, grad_cur, acc), theta_cur
 
     keys = jax.random.split(key, n_iter)

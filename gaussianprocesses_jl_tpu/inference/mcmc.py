@@ -141,7 +141,10 @@ def ess(gp, key=None, n_iter: int = 1000, burn: int = 0, thin: int = 1,
         )
         res = run(keys)
         samples = res.samples[:, burn::thin]
-        gp.set_params(res.final[0], **flags)
+        # pick the best chain by final mll (mirrors mcmc()'s best-target
+        # selection rather than arbitrarily trusting chain 0)
+        best = int(jnp.argmax(res.final_loglik))
+        gp.set_params(res.final[best], **flags)
         props = res.mean_proposals
         final = res.final
 

@@ -67,6 +67,10 @@ class DensePD(Module):
 class FullCovariance(Module):
     """Exact dense covariance strategy (ref: FullCovariance, src/GP.jl:22)."""
 
+    # the built PD exposes unwhiten(), so GPA's whitened-latent
+    # parameterization (f = mu + L v) is available
+    supports_whitened_latents = True
+
     def build(self, kernel, noise_var, X) -> DensePD:
         """K(X, X) + diag(noise_var); noise_var scalar or (n,) vector
         (heteroscedastic, ref src/GPE.jl:177-186)."""

@@ -130,7 +130,15 @@ class GPA:
         mean = mean if mean is not None else MeanZero()
         v = jnp.zeros(n) if v is None else jnp.asarray(v, dtype=float)
         self.params = GPAParams(v=v, lik=lik, mean=mean, kernel=kernel)
-        self.covstrat = covstrat if covstrat is not None else FullCovariance()
+        covstrat = covstrat if covstrat is not None else FullCovariance()
+        if not getattr(covstrat, "supports_whitened_latents", False):
+            # GPA needs pd.unwhiten (f = mu + L v); the low-rank sparse
+            # strategies don't provide a square factor (ref GPA is
+            # FullCovariance-only, src/GPA.jl:53-95)
+            raise TypeError(
+                f"GPA requires a covariance strategy with whitened-latent "
+                f"support (full dense factor); got {type(covstrat).__name__}")
+        self.covstrat = covstrat
 
     # -- accessors ---------------------------------------------------------
     @property

@@ -86,6 +86,9 @@ class _DiagLambda(Module):
         """Adjoint of whiten_rows: maps whitened-row layout back to (n, k)."""
         return Z / jnp.sqrt(self.d)[:, None]
 
+    def trace(self):
+        return jnp.sum(self.d)
+
 
 @module(static=("block_idx", "block_mask"))
 class _BlockDiagLambda(Module):
@@ -162,6 +165,12 @@ class _BlockDiagLambda(Module):
     def _n(self):
         return sum(int(m) for row in self.block_mask for m in row)
 
+    def trace(self):
+        """tr(Lambda) = sum of squared rows of the block factors over the
+        unmasked lanes (padded lanes are identity rows — excluded by the
+        mask)."""
+        return jnp.sum((self.chols ** 2) * self._mask()[:, :, None])
+
 
 # ---------------------------------------------------------------------------
 # Shared low-rank PD matrix
@@ -222,12 +231,7 @@ class LowRankPD(Module):
         """tr(Sigma) = |whiten(Kuu, Kuf)|_F^2 + tr(Lambda)
         (ref fully_indep...jl:97-108)."""
         Lk = solve_lower(self.Luu, self.Kuf)
-        lam_tr = (
-            jnp.sum(self.lam.d)
-            if isinstance(self.lam, _DiagLambda)
-            else jnp.sum(jnp.diagonal(0))  # not needed for block case
-        )
-        return jnp.sum(Lk * Lk) + lam_tr
+        return jnp.sum(Lk * Lk) + self.lam.trace()
 
     def dense(self):
         """Densify (test/debug only; ref Base.Matrix)."""

@@ -30,6 +30,7 @@ __all__ = [
     "default_jitter",
     "tri_inv_lower",
     "dense_quad_logdet",
+    "set_grad_gemm_precision",
 ]
 
 
@@ -161,10 +162,28 @@ def dense_quad_logdet(K: jnp.ndarray, r: jnp.ndarray):
     return quad, logdet, ok
 
 
+# Precision of the gradient-only K^-1 GEMM in the backward pass. HIGHEST
+# (the default) makes grads match the f32 forward to rounding error;
+# Precision.HIGH (3-pass bf16) saves ~35% of the dominant GEMM at ~5e-5
+# relative error on K^-1 — amplified by cond(K), so it is an explicit
+# opt-in via set_grad_gemm_precision() for well-conditioned models.
+_GRAD_GEMM_PRECISION = _HIGH
+
+
+def set_grad_gemm_precision(precision) -> None:
+    """Set the matmul precision of the gradient-only K^-1 build in
+    dense_quad_logdet's backward pass (default jax.lax.Precision.HIGHEST)."""
+    global _GRAD_GEMM_PRECISION
+    _GRAD_GEMM_PRECISION = precision
+
+
 def _dql_fwd(K, r):
     L = jnp.linalg.cholesky(K)
     Linv = tri_inv_lower(L)
-    w = jnp.matmul(Linv, r, precision=_HIGH)
+    # the primal w comes from the same triangular solve as the no-grad path,
+    # so gp.mll and target_and_dtarget()[0] agree bit-for-bit; the explicit
+    # inverse is only used for gradient quantities
+    w = solve_triangular(L, r, lower=True)
     quad = jnp.sum(w * w)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
     ok = jnp.all(jnp.isfinite(L))
@@ -175,9 +194,7 @@ def _dql_bwd(res, cots):
     Linv, w = res
     quad_bar, logdet_bar, _ = cots
     alpha = jnp.matmul(Linv.T, w, precision=_HIGH)  # K^-1 r
-    # gradient-only quantity: 3-pass bf16 (Precision.HIGH) measures ~5e-5
-    # relative error on K^-1 while saving ~35% of the dominant GEMM
-    Kinv = jnp.matmul(Linv.T, Linv, precision=jax.lax.Precision.HIGH)
+    Kinv = jnp.matmul(Linv.T, Linv, precision=_GRAD_GEMM_PRECISION)
     # d quad / dK = -αα^T ; d logdet / dK = K^-1  (both symmetric)
     K_bar = logdet_bar * Kinv - quad_bar * jnp.outer(alpha, alpha)
     r_bar = (2.0 * quad_bar) * alpha

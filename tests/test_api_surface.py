@@ -2,9 +2,19 @@
 (ref: src/GaussianProcesses.jl:14-18) plus this package's additions."""
 import gaussianprocesses_jl_tpu as gp
 
-# reference exports, translated (mutating-bang names -> method/function form;
-# `lss` is a dead export in the reference — it exports a function that is
-# never defined — so it is intentionally absent here)
+# reference exports, translated (mutating-bang names -> method/function form).
+# Intentional exclusions from the reference export list
+# (ref src/GaussianProcesses.jl:14-18):
+#   * lss — dead export (the reference exports a function it never defines);
+#   * GPBase, CompositeKernel — abstract supertypes with no behavior of
+#     their own; dispatch roles are covered by GPE/GPA and SumKernel/
+#     ProdKernel here;
+#   * autodiff — a ForwardDiff dual-number escape hatch; every kernel here
+#     is jax.grad-differentiable by construction (ADkernel row, VERDICT §2);
+#   * initialise_Q / update_Q! — VI internals subsumed by the vi() driver
+#     and the Approx pytree;
+#   * predict_f / predict_y free functions — methods on GPE/GPA
+#     (test_model_methods below covers them).
 REFERENCE_SURFACE = [
     "GP", "GPE", "GPA", "ElasticGPE", "Approx",
     "Kernel", "Likelihood", "SumKernel", "ProdKernel", "Masked",

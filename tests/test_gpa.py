@@ -110,3 +110,20 @@ def test_gp_factory_dispatch():
     assert isinstance(g2, gp.GPA)
     g3 = gp.GP(np.random.randn(5, 1), np.random.randn(5))
     assert isinstance(g3, gp.GPE)
+
+
+def test_gpa_rejects_sparse_covstrat():
+    """The low-rank sparse strategies have no unwhiten (no square factor),
+    so GPA must reject them at construction instead of crashing deep in
+    the latent build."""
+    import pytest
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(10, 1)
+    y = (x[:, 0] > 0).astype(float)
+    from gaussianprocesses_jl_tpu.models.sparse import SubsetOfRegsStrategy
+
+    strat = SubsetOfRegsStrategy(inducing=jnp.asarray(x[:3]))
+    with pytest.raises(TypeError, match="whitened-latent"):
+        gp.GPA(x, y, gp.MeanZero(), gp.SE(0.0, 0.0), gp.BernLik(),
+               covstrat=strat)

@@ -102,6 +102,18 @@ def test_ess_gpe(gpe_model):
     assert np.all(np.isfinite(np.asarray(res.samples)))
 
 
+def test_ess_multichain_best_selection(gpe_model):
+    """Multi-chain ess() sets the model to the best chain by final mll
+    (not arbitrarily chain 0), mirroring mcmc()'s best-target selection."""
+    res = gp.ess(gpe_model, jax.random.PRNGKey(4), n_iter=50, chains=3,
+                 verbose=False)
+    assert res.samples.shape == (3, 50, 3)
+    mll_fn, _, _, _ = gpe_model.make_logprob(include_priors=False)
+    best = np.argmax([float(mll_fn(res.final[c])) for c in range(3)])
+    assert np.allclose(np.asarray(gpe_model.params.flat_params()),
+                       np.asarray(res.final[best]))
+
+
 def test_ess_requires_normal_priors():
     rng = np.random.RandomState(0)
     m = gp.GPE(rng.randn(8, 1), rng.randn(8), kernel=gp.SE(0.0, 0.0))

@@ -69,6 +69,16 @@ def test_pd_ops_vs_densified(name, setup):
     assert np.allclose(x_pd, x_np, atol=1e-6 * np.abs(x_np).max())
 
 
+@pytest.mark.parametrize("name", ["sor", "fitc", "fsa"])
+def test_trace_vs_densified(name, setup):
+    """tr(Sigma) through the factorized identities matches the densified
+    matrix for both the diagonal and block-diagonal Lambda cases
+    (ref fully_indep...jl:97-108 / full_scale...jl trinv path)."""
+    _, models = setup
+    pd, S = _dense_sigma(models[name])
+    assert np.allclose(float(pd.trace()), np.trace(S), rtol=1e-6)
+
+
 @pytest.mark.parametrize("name", ["sor", "dtc", "fitc", "fsa"])
 def test_dmll_vs_dense_rebuild(name, setup):
     """Gradient through the O(nm^2) Woodbury path vs. autodiff through an
