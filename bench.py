@@ -1,13 +1,31 @@
-"""Headline benchmark: one marginal-likelihood + gradient evaluation
-(`update_mll_and_dmll!`) on the reference's published configuration —
-d=10 covariates, n=3000 observations, SE kernel, min over 20 trials
-(ref: perf/README.md:1-8, perf/benchmarks/benchmark_julia.jl:27-46).
+"""Benchmark suite.
 
-Reference (Julia, CPU): 800 ms for the `se` row (BASELINE.md). Prints one
-JSON line: value = our wall time in ms, vs_baseline = reference_ms / ours
-(higher is better).
+Default run (what the driver records) measures three things and prints ONE
+JSON line:
 
-Run `python bench.py --full` for the whole kernel table from BASELINE.md.
+  * headline: one marginal-likelihood + gradient evaluation
+    (`update_mll_and_dmll!`) on the reference's published configuration —
+    d=10, n=3000, SE kernel, min over trials
+    (ref: perf/README.md:1-8, perf/benchmarks/benchmark_julia.jl:27-46;
+    reference Julia CPU: 800 ms, BASELINE.md);
+  * the BASELINE.json metric "Cholesky TFLOP/s at N=10k": f32 Cholesky
+    throughput at n=10000 on the chip, with a measured GEMM roofline anchor
+    (a large f32 matmul at default precision) so the achieved fraction of
+    practical peak is reported, not asserted;
+  * the BASELINE.json metric "effective samples/sec/chip on GPA
+    classification": vmapped multi-chain HMC over [latents; hypers] of a
+    Bernoulli-likelihood GPA (crabs-shaped: n=200, d=5, Matern-3/2 ARD —
+    ref notebooks/Classification.ipynb), ESS via the FFT-Geyer estimator
+    (inference/diagnostics.py), reported as min/median-across-parameters
+    effective samples per wall second on one chip.
+
+Flags:
+  --full      also run the whole kernel table from BASELINE.md (stderr)
+  --kernels   per-kernel micro suite mirroring ref perf/kernels.jl: gram
+              build and mll+gradient timings at (n=100,d=10) and
+              (n=3000,d=10); writes perf_kernels.json
+  --fitc100k  config #4 demo: sharded-FITC mll value+grad at N=100k on the
+              chip (wall time per step)
 """
 import json
 import sys
@@ -98,12 +116,263 @@ def bench_one(name, kern, X, y, n_trials=5, reps=20):
     return best * 1e3, float(out[1])
 
 
-def main():
-    full = "--full" in sys.argv
+def bench_gram_one(kern, X, n_trials=5, reps=20):
+    """Amortized device time of one gram-matrix build (ref perf/kernels.jl
+    `cov!` row)."""
+    import jax
+    import jax.numpy as jnp
+
+    vec = kern.flat_params()
+
+    @jax.jit
+    def many(v0):
+        def body(carry, i):
+            K = kern.with_flat_params(v0 + 1e-6 * i).gram(X)
+            return carry + K[0, 0] + K[-1, -1], None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), X.dtype),
+                              jnp.arange(reps, dtype=X.dtype))
+        return acc
+
+    out = many(vec)
+    jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        out = many(vec)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best * 1e3
+
+
+def bench_cholesky(n=10000, reps=8, n_trials=4):
+    """f32 Cholesky TFLOP/s at N=n on the chip (BASELINE.json metric), with
+    a measured large-GEMM roofline anchor for the fraction-of-peak claim.
+
+    The PD input is W W^T + n I (W n x 256) built on device; each rep
+    perturbs the diagonal so the scan's factorizations cannot be CSE'd; the
+    log-det is accumulated so nothing is dead code."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    W = jax.random.normal(key, (n, 256), dtype=jnp.float32)
+    K = W @ W.T + n * jnp.eye(n, dtype=jnp.float32)
+
+    @jax.jit
+    def many_chol(K):
+        idx = jnp.arange(n)
+
+        def body(carry, i):
+            Ki = K.at[idx, idx].add(1e-3 * (i + 1.0))
+            L = jnp.linalg.cholesky(Ki)
+            return carry + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L))), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              jnp.arange(reps, dtype=jnp.float32))
+        return acc
+
+    out = many_chol(K)
+    jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        out = many_chol(K)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    chol_s = best
+    chol_tflops = (n**3 / 3.0) / chol_s / 1e12
+
+    # measured practical GEMM peak (f32 inputs, default TPU precision)
+    m = 4096
+    A = jax.random.normal(key, (m, m), dtype=jnp.float32)
+
+    @jax.jit
+    def many_mm(A):
+        def body(C, i):
+            return C + jnp.dot(A + 1e-6 * i, A), None
+
+        C, _ = jax.lax.scan(body, jnp.zeros_like(A),
+                            jnp.arange(reps, dtype=jnp.float32))
+        return C[0, 0]
+
+    out = many_mm(A)
+    jax.block_until_ready(out)
+    best_mm = np.inf
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        out = many_mm(A)
+        jax.block_until_ready(out)
+        best_mm = min(best_mm, (time.perf_counter() - t0) / reps)
+    gemm_tflops = (2.0 * m**3) / best_mm / 1e12
+
+    return {
+        "n": n,
+        "ms": round(chol_s * 1e3, 3),
+        "tflops": round(chol_tflops, 3),
+        "gemm_peak_tflops": round(gemm_tflops, 2),
+        "frac_gemm_peak": round(chol_tflops / gemm_tflops, 4),
+    }
+
+
+def bench_gpa_ess(n=200, d=5, chains=16, n_iter=600, warmup=100,
+                  eps=0.02):
+    """Effective samples/sec/chip on GPA Bernoulli classification
+    (BASELINE.json metric; config #2). Crabs-shaped synthetic data
+    (n=200, d=5, Matern-3/2 ARD kernel + probit likelihood — ref
+    notebooks/Classification.ipynb), `chains` vmapped HMC chains over
+    [v (n latents); kernel hypers] on one chip, ESS via the FFT-Geyer
+    estimator pooled across chains."""
     import jax
     import jax.numpy as jnp
 
     import gaussianprocesses_jl_tpu as gp
+    from gaussianprocesses_jl_tpu.inference.diagnostics import (
+        effective_sample_size,
+    )
+    from gaussianprocesses_jl_tpu.inference.hmc import hmc
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(n, d).astype(np.float32)
+    f_true = np.sin(X[:, 0]) + 0.5 * X[:, 1]
+    y = (f_true + 0.3 * rng.randn(n) > 0).astype(np.float32)
+
+    m = gp.GPA(X, y, gp.MeanZero(),
+               gp.Matern(1.5, np.zeros(d, np.float32), np.float32(0.0)),
+               gp.BernLik())
+    logprob, x0, _, _ = m.make_logprob()
+    D = x0.shape[0]
+
+    keys = jax.random.split(jax.random.PRNGKey(11), chains)
+    starts = x0[None, :] + 0.01 * jax.vmap(
+        lambda k: jax.random.normal(k, x0.shape, dtype=x0.dtype))(keys)
+
+    run = jax.vmap(lambda th, k: hmc(logprob, th, k, n_iter=n_iter,
+                                     eps=eps, Lmin=5, Lmax=15))
+    res = run(starts, keys)  # compile + warmup run
+    jax.block_until_ready(res.samples)
+    t0 = time.perf_counter()
+    res = run(starts, jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys))
+    jax.block_until_ready(res.samples)
+    wall = time.perf_counter() - t0
+
+    post = res.samples[:, warmup:, :]  # (C, n_kept, D)
+    ess = np.asarray(effective_sample_size(post))
+    return {
+        "n_obs": n,
+        "dim_theta": int(D),
+        "chains": chains,
+        "iters_post_warmup": int(n_iter - warmup),
+        "wall_s": round(wall, 3),
+        "accept_rate": round(float(np.mean(np.asarray(res.accept_rate))), 3),
+        "ess_min": round(float(ess.min()), 1),
+        "ess_median": round(float(np.median(ess)), 1),
+        "ess_per_sec_min": round(float(ess.min()) / wall, 1),
+        "ess_per_sec_median": round(float(np.median(ess)) / wall, 1),
+        "iters_per_sec_per_chain": round(n_iter / wall, 1),
+    }
+
+
+def bench_kernel_micro():
+    """Per-kernel micro suite (ref perf/kernels.jl:6-43): gram build and
+    mll+gradient amortized device times at (n=100, d=10) and
+    (n=3000, d=10). Writes perf_kernels.json and prints the table."""
+    import jax.numpy as jnp
+
+    import gaussianprocesses_jl_tpu as gp
+
+    rng = np.random.RandomState(42)
+    d = 10
+    table = {}
+    for n in (100, 3000):
+        X = jnp.asarray(rng.randn(n, d), dtype=jnp.float32)
+        y = jnp.asarray(rng.randn(n), dtype=jnp.float32)
+        for name, kern in kernels(gp, jnp).items():
+            gram_ms = bench_gram_one(kern, X)
+            mll_ms, _ = bench_one(name, kern, X, y)
+            table.setdefault(name, {})[f"n={n}"] = {
+                "gram_ms": round(gram_ms, 4),
+                "mll_grad_ms": round(mll_ms, 4),
+            }
+            print(f"# n={n:5d} {name:22s} gram {gram_ms:8.3f} ms   "
+                  f"mll+grad {mll_ms:8.3f} ms", file=sys.stderr)
+    with open("perf_kernels.json", "w") as f:
+        json.dump(table, f, indent=1)
+    print("# wrote perf_kernels.json", file=sys.stderr)
+    return table
+
+
+def bench_fitc100k(N=100_000, m=512, d=4, steps=3):
+    """Config #4 demo: FITC mll value+gradient at N=100k on the chip (the
+    observation-sharded path on a 1-device mesh — the same shard_map code
+    that scales over ICI), plus a few optimizer steps. Reports per-step
+    wall time."""
+    import jax
+    import jax.numpy as jnp
+
+    import gaussianprocesses_jl_tpu as gp
+    from gaussianprocesses_jl_tpu.parallel.fitc import (
+        fitc_mll_sharded_fn,
+        shard_data,
+    )
+    from gaussianprocesses_jl_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(N, d).astype(np.float32)
+    y = (np.sin(X[:, 0]) + 0.5 * np.cos(X[:, 1])
+         + 0.1 * rng.randn(N)).astype(np.float32)
+    Xu = X[rng.choice(N, m, replace=False)].copy()
+
+    fitc = gp.FITC(X, Xu, y, kernel=gp.SE(0.0, 0.0), lognoise=-1.0)
+    mesh = make_mesh({"data": 1})
+    mll_fn = fitc_mll_sharded_fn(fitc.params.kernel, mesh)
+    Xs, ys = shard_data(jnp.asarray(X), jnp.asarray(y), mesh)
+    Xu_j = fitc.covstrat.inducing
+
+    @jax.jit
+    def step(params):
+        loss, grads = jax.value_and_grad(
+            lambda p: -mll_fn(p, Xs, ys, Xu_j))(params)
+        new = jax.tree_util.tree_map(lambda p, g: p - 1e-3 * g,
+                                     params, grads)
+        return loss, new
+
+    params = fitc.params
+    loss, params = step(params)  # compile
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    losses = []
+    for _ in range(steps):
+        loss, params = step(params)
+        losses.append(float(loss))
+    jax.block_until_ready(loss)
+    wall = (time.perf_counter() - t0) / steps
+    assert all(np.isfinite(losses)), f"non-finite FITC loss: {losses}"
+    return {
+        "N": N,
+        "m": m,
+        "step_ms": round(wall * 1e3, 2),
+        "losses": [round(x, 2) for x in losses],
+    }
+
+
+def main():
+    full = "--full" in sys.argv
+    micro = "--kernels" in sys.argv
+    fitc = "--fitc100k" in sys.argv
+    import jax.numpy as jnp
+
+    import gaussianprocesses_jl_tpu as gp
+
+    if micro:
+        bench_kernel_micro()
+        return
+    if fitc:
+        out = bench_fitc100k()
+        print(json.dumps({
+            "metric": "sharded-FITC mll+grad step at N=100k (m=512, d=4)",
+            "value": out["step_ms"], "unit": "ms", "detail": out}))
+        return
 
     rng = np.random.RandomState(42)
     n, d = 3000, 10
@@ -121,13 +390,29 @@ def main():
                   f"speedup {REF_MS[name] / ms:6.1f}x)  mll={mll:.2f}",
                   file=sys.stderr)
 
+    chol = bench_cholesky()
+    print(f"# cholesky n={chol['n']}: {chol['ms']} ms = {chol['tflops']} "
+          f"TFLOP/s ({100 * chol['frac_gemm_peak']:.1f}% of measured "
+          f"{chol['gemm_peak_tflops']} TFLOP/s GEMM peak)", file=sys.stderr)
+    gpa = bench_gpa_ess()
+    print(f"# gpa classification: {gpa['ess_per_sec_min']} (min) / "
+          f"{gpa['ess_per_sec_median']} (median) eff samples/sec/chip, "
+          f"accept={gpa['accept_rate']}", file=sys.stderr)
+
     ms = rows["se"]
-    print(json.dumps({
+    result = {
         "metric": "mll+grad wall time (se kernel, d=10, n=3000, min of 20)",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(REF_MS["se"] / ms, 2),
-    }))
+        "cholesky_n10k": chol,
+        "gpa_classification_ess": gpa,
+    }
+    if full:
+        result["kernel_table_ms"] = {k: round(v, 3) for k, v in rows.items()}
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
