@@ -98,5 +98,8 @@ from .utils.params import Param
 from .utils.modules import Module
 from .plot import plot_gp, plot_gp_2d
 from .sklearn import GPRegressor
+from .parallel.dense import DistributedFullCovariance
+from .parallel.gram import ring_gram
+from .parallel.mesh import make_mesh
 
 __version__ = "0.1.0"

@@ -1,0 +1,126 @@
+"""Distributed exact-GP covariance strategy (SURVEY §2.9 TP row).
+
+`DistributedFullCovariance` is a drop-in `covstrat` for `GPE`: the train
+covariance K = k(X,X) + noise I is built, factorized, solved, and
+differentiated entirely in block-cyclic tile-column shards over a device
+mesh (parallel/cholesky.py) — K never exists on a single device. A GPE
+constructed with it optimizes hyperparameters (value+grad through the
+custom-VJP `distributed_quad_logdet`), predicts, and samples on data whose
+gram matrix exceeds one chip's HBM.
+
+The reference has no distributed path (SURVEY §2.9: single-process Julia);
+this mirrors the strategy-pattern slot its `CovarianceStrategy` occupies
+(ref src/GP.jl:10-20) at pod scale.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..models.covariance import FullCovariance
+from ..utils.modules import Module, module
+from .cholesky import (
+    build_tiles,
+    choose_tile_size,
+    distributed_chol_solve,
+    distributed_cholesky,
+    distributed_quad_logdet,
+    distributed_solve_lower,
+    distributed_unwhiten,
+    identity_tiles,
+)
+
+__all__ = ["DistributedPD", "DistributedFullCovariance"]
+
+
+@module(static=("mesh", "axis", "B"))
+class DistributedPD(Module):
+    """PD matrix represented by its sharded lower-Cholesky tile-columns.
+
+    Implements the same protocol as models.covariance.DensePD (solve /
+    whiten / unwhiten / logdet / quad + ok flag) against the distributed
+    factor; on factorization failure the factor is the identity and `ok`
+    is False (safe_cholesky semantics)."""
+
+    L_tiles: Any  # (nb, nb, B, B) sharded tile-columns
+    logdet_value: Any  # () — accumulated during the factorization
+    ok: Any  # () bool
+    mesh: Mesh
+    axis: str
+    B: int
+
+    def solve(self, Bmat):
+        return distributed_chol_solve(self.L_tiles, Bmat, self.B, self.mesh,
+                                      self.axis)
+
+    def whiten(self, Bmat):
+        return distributed_solve_lower(self.L_tiles, Bmat, self.B, self.mesh,
+                                       self.axis)
+
+    def unwhiten(self, v):
+        return distributed_unwhiten(self.L_tiles, v, self.B, self.mesh,
+                                    self.axis)
+
+    def logdet(self):
+        return self.logdet_value
+
+    def quad(self, y):
+        w = self.whiten(y)
+        return jnp.sum(w * w)
+
+
+@module(static=("mesh", "axis", "B"))
+class DistributedFullCovariance(Module):
+    """Exact dense covariance sharded over `mesh[axis]` (tile size B;
+    B=None picks the largest valid size at build time). Requires
+    n % (B * mesh.shape[axis]) == 0 — pad the data or pass an explicit B.
+
+    The GPA whitened-latent path needs reverse-mode through the
+    factorization itself (dL/dtheta), which the scan-based distributed
+    Cholesky does not expose — use the single-device FullCovariance for
+    GPA, or the chain-sharded samplers (parallel/chains.py)."""
+
+    mesh: Mesh
+    axis: str = "j"
+    B: int | None = None
+
+    supports_whitened_latents = False
+
+    def _tile(self, n: int) -> int:
+        if self.B is not None:
+            return self.B
+        return choose_tile_size(n, self.mesh.shape[self.axis])
+
+    def build(self, kernel, noise_var, X) -> DistributedPD:
+        n = X.shape[0]
+        B = self._tile(n)
+        tiles = build_tiles(kernel, noise_var, X, B, self.mesh, self.axis)
+        L_tiles, logdet = distributed_cholesky(tiles, self.mesh, self.axis)
+        # any non-PD pivot NaNs its panel, which contaminates every trailing
+        # update and later diagonal tile, so logdet is NaN iff the
+        # factorization failed anywhere
+        ok = jnp.isfinite(logdet)
+        # identity fallback keeps downstream solves finite; callers gate on ok
+        eye_t = identity_tiles(n // B, B, self.mesh, self.axis,
+                               dtype=L_tiles.dtype)
+        L_tiles = jnp.where(ok, L_tiles, eye_t)
+        logdet = jnp.where(ok, logdet, 0.0)
+        return DistributedPD(L_tiles=L_tiles, logdet_value=logdet, ok=ok,
+                             mesh=self.mesh, axis=self.axis, B=B)
+
+    def quad_logdet(self, kernel, noise_var, X, r):
+        """Fused (r^T K^-1 r, logdet, ok) — the differentiable mll hot path
+        (custom VJP with ring-ppermute K^-1, parallel/cholesky.py)."""
+        n = X.shape[0]
+        B = self._tile(n)
+        tiles = build_tiles(kernel, noise_var, X, B, self.mesh, self.axis)
+        return distributed_quad_logdet(tiles, r, B, self.mesh, self.axis)
+
+    def predict_mvn(self, pd: DistributedPD, kernel, X, r, alpha, Xs,
+                    full_cov: bool):
+        """Same math as FullCovariance.predict_mvn (batched whiten), with
+        the whiten running as distributed forward substitution."""
+        return FullCovariance.predict_mvn(self, pd, kernel, X, r, alpha, Xs,
+                                          full_cov)
