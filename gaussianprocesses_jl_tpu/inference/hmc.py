@@ -49,23 +49,30 @@ def _finite(x):
 
 
 def hmc_iteration(vg: Callable, theta, tgt, grad, key, eps, Lmin: int,
-                  Lmax: int):
+                  Lmax: int, minv=None):
     """One HMC transition (the body of the reference's iteration loop,
     src/mcmc.jl:42-76) as a pure reusable function.
+
+    `minv` is the diagonal inverse mass matrix M^-1 (the estimated
+    posterior variances; None = identity, the reference's only option):
+    momenta are drawn nu ~ N(0, M), positions move by eps * M^-1 * nu,
+    and the kinetic energy is nu^T M^-1 nu / 2.
 
     Returns (theta', tgt', grad', accept_prob, accepted). Fixed-length
     Lmax leapfrog with masking for the randomized L; non-finite proposals
     reject outright."""
     D = theta.shape[0]
     eps = jnp.asarray(eps, dtype=theta.dtype)
+    minv = (jnp.ones((D,), theta.dtype) if minv is None
+            else jnp.asarray(minv, theta.dtype))
     k_mom, k_len, k_mh = jax.random.split(key, 3)
-    nu0 = jax.random.normal(k_mom, (D,), dtype=theta.dtype)
+    nu0 = jax.random.normal(k_mom, (D,), dtype=theta.dtype) / jnp.sqrt(minv)
     L = jax.random.randint(k_len, (), Lmin, Lmax + 1)
 
     def leap_step(carry, l):
         th, nu, g, t, bad = carry
         active = jnp.logical_and(l < L, jnp.logical_not(bad))
-        th_n = th + eps * nu
+        th_n = th + eps * minv * nu
         t_n, g_n = vg(th_n)
         ok = jnp.isfinite(t_n) & _finite(g_n) & _finite(th_n)
         bad_n = jnp.where(active, jnp.logical_not(ok), bad)
@@ -84,7 +91,9 @@ def hmc_iteration(vg: Callable, theta, tgt, grad, key, eps, Lmin: int,
         leap_step, (theta, nu, grad, tgt, bad0), jnp.arange(Lmax))
     nu = nu - 0.5 * eps * g
 
-    log_alpha = t - 0.5 * jnp.dot(nu, nu) - tgt + 0.5 * jnp.dot(nu0, nu0)
+    kin = 0.5 * jnp.dot(nu * minv, nu)
+    kin0 = 0.5 * jnp.dot(nu0 * minv, nu0)
+    log_alpha = t - kin - tgt + kin0
     accept_prob = jnp.where(bad, 0.0,
                             jnp.minimum(1.0, jnp.exp(jnp.minimum(
                                 log_alpha, 0.0))))
@@ -98,10 +107,12 @@ def hmc_iteration(vg: Callable, theta, tgt, grad, key, eps, Lmin: int,
 
 @partial(jax.jit, static_argnames=("logprob_fn", "n_iter", "Lmin", "Lmax"))
 def hmc(logprob_fn: Callable, theta0, key, n_iter: int = 1000,
-        eps: float = 0.1, Lmin: int = 5, Lmax: int = 15) -> HMCResult:
+        eps: float = 0.1, Lmin: int = 5, Lmax: int = 15,
+        minv=None) -> HMCResult:
     """Run one HMC chain on `logprob_fn` starting at theta0.
 
     logprob_fn: (D,) -> scalar log target (may be -inf / NaN on bad regions).
+    minv: optional diagonal inverse mass matrix (see hmc_iteration).
     Returns all n_iter states (burn/thin are post-hoc slicing, as in the
     reference).
     """
@@ -118,7 +129,8 @@ def hmc(logprob_fn: Callable, theta0, key, n_iter: int = 1000,
     def one_iter(carry, key):
         theta_cur, tgt_cur, grad_cur, acc = carry
         theta_cur, tgt_cur, grad_cur, _, accepted = hmc_iteration(
-            vg, theta_cur, tgt_cur, grad_cur, key, eps, Lmin, Lmax)
+            vg, theta_cur, tgt_cur, grad_cur, key, eps, Lmin, Lmax,
+            minv=minv)
         acc = acc + accepted
         return (theta_cur, tgt_cur, grad_cur, acc), theta_cur
 

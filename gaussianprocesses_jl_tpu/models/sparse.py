@@ -361,7 +361,10 @@ class FullyIndepStrat(Module):
         Kuu, Luu, ok_uu, Kuf = _common_pieces(kernel, self.inducing, X)
         Lk = solve_lower(Luu, Kuf)
         qdiag = jnp.sum(Lk * Lk, axis=0)
-        d = noise_var + kernel.diag(X) - qdiag
+        # clamp the residual (Kff - Qff >= 0 in exact arithmetic) BEFORE
+        # adding the noise, so f32 overshoot of qdiag past kdiag can never
+        # collapse Lambda below the noise floor (w = r/sqrt(d) would explode)
+        d = noise_var + jnp.maximum(kernel.diag(X) - qdiag, 0.0)
         d = jnp.maximum(d, _jit_of(X))
         return _finish(Kuu, Luu, ok_uu, Kuf, _DiagLambda(d=d))
 

@@ -5,11 +5,18 @@ The reference runs one sequential chain (ref src/mcmc.jl:42). Here:
   * chains vectorize per-device with `vmap`,
   * devices hold disjoint chain shards under `shard_map` over the 'chains'
     mesh axis,
-  * step-size adaptation is *collective*: every iteration the mean
-    Metropolis acceptance probability is `psum`-reduced across all chains
-    on all devices, and a shared dual-averaging update (Hoffman & Gelman
-    2014, Alg. 5) moves a single step size for the whole fleet. This is
+  * adaptation is *collective*: every iteration the mean Metropolis
+    acceptance probability is `psum`-reduced across all chains on all
+    devices and a shared dual-averaging update (Hoffman & Gelman 2014,
+    Alg. 5) moves a single step size for the whole fleet; during warmup a
+    shared **diagonal mass matrix** is estimated from psum'd cross-chain
+    + within-window moments of theta (the many-chain ensemble gives a far
+    lower-variance estimate than any single-chain window), with Stan-style
+    shrinkage and a dual-averaging restart at each mass update. This is
     the psum-of-accept-stats pattern from SURVEY §2.9/§5.
+
+Also provides `sharded_ess`: the elliptical-slice sampler (ref
+src/mcmc.jl:121-184) vmapped per device and sharded over the same axis.
 """
 from __future__ import annotations
 
@@ -21,9 +28,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from ..inference.ess import ess
 from ..inference.hmc import hmc_iteration
 
-__all__ = ["sharded_hmc", "ShardedHMCResult"]
+__all__ = ["sharded_hmc", "ShardedHMCResult", "sharded_ess",
+           "ShardedESSResult"]
 
 
 @dataclass
@@ -31,14 +40,15 @@ class ShardedHMCResult:
     samples: jnp.ndarray  # (C, n_keep, D)
     accept_rate: jnp.ndarray  # (C,)
     eps_final: jnp.ndarray  # ()
+    minv_final: jnp.ndarray  # (D,) shared diagonal inverse mass
     final: jnp.ndarray  # (C, D)
     final_target: jnp.ndarray  # (C,)
 
 
 jax.tree_util.register_dataclass(
     ShardedHMCResult,
-    data_fields=["samples", "accept_rate", "eps_final", "final",
-                 "final_target"],
+    data_fields=["samples", "accept_rate", "eps_final", "minv_final",
+                 "final", "final_target"],
     meta_fields=[],
 )
 
@@ -46,13 +56,18 @@ jax.tree_util.register_dataclass(
 def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
                 n_iter: int = 1000, n_warmup: int = 0, eps0: float = 0.1,
                 Lmin: int = 5, Lmax: int = 15, target_accept: float = 0.8,
-                thin: int = 1) -> ShardedHMCResult:
+                thin: int = 1, adapt_mass: bool = True) -> ShardedHMCResult:
     """Run C chains of HMC sharded over `mesh` axis `axis`.
 
     theta0: (C, D) initial states, C divisible by the axis size.
     During the first `n_warmup` iterations the step size adapts by
-    collective dual averaging; afterwards it is frozen at the averaged
-    value. Warmup draws are discarded. Keeps every `thin`-th draw."""
+    collective dual averaging, and (when `adapt_mass` and n_warmup >= 20)
+    a shared diagonal inverse mass matrix is re-estimated twice — at
+    n_warmup/2 from the moment window [n_warmup/4, n_warmup/2) and at
+    3 n_warmup/4 from [n_warmup/2, 3 n_warmup/4) — pooling moments across
+    every chain on every device with psum. Each mass update restarts the
+    step-size dual averaging at the current eps. Warmup draws are
+    discarded. Keeps every `thin`-th draw."""
     C, D = theta0.shape
     n_dev = mesh.shape[axis]
     if C % n_dev:
@@ -61,21 +76,26 @@ def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
     n_keep = n_iter // thin
     vg = jax.value_and_grad(logprob_fn)
 
-    mu = jnp.log(10.0 * eps0)
     gamma, t0, kappa = 0.05, 10.0, 0.75
+    do_mass = bool(adapt_mass) and n_warmup >= 20
+    # mass-update iterations and their moment-window starts
+    w2, w34 = n_warmup // 2, (3 * n_warmup) // 4
+    win_starts = (n_warmup // 4, w2)
 
     def local_run(theta_loc, keys_loc):
         # theta_loc: (c, D); keys_loc: (c,) base keys per local chain
         c = theta_loc.shape[0]
         t_init, g_init = jax.vmap(vg)(theta_loc)
         g_init = jnp.where(jnp.isfinite(g_init), g_init, 0.0)
+        dt = theta_loc.dtype
 
         def one_iter(carry, it):
-            theta, tgt, grad, keys, acc, eps, log_eps_bar, hbar = carry
+            (theta, tgt, grad, keys, acc, eps, mu, log_eps_bar, hbar,
+             t_adapt, minv, s1, s2, cnt) = carry
             keys = jax.vmap(jax.random.fold_in)(keys, jnp.full((c,), it))
             step = jax.vmap(
                 lambda th, t, g, k: hmc_iteration(vg, th, t, g, k, eps,
-                                                  Lmin, Lmax)
+                                                  Lmin, Lmax, minv=minv)
             )
             theta, tgt, grad, aprob, accepted = step(theta, tgt, grad, keys)
 
@@ -84,9 +104,10 @@ def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
             global_c = jax.lax.psum(jnp.asarray(c, aprob.dtype), axis)
             a_mean = global_asum / global_c
 
-            # dual averaging (shared step size)
+            # dual averaging (shared step size); t_adapt restarts after
+            # each mass update
             in_warmup = it < n_warmup
-            t_adapt = jnp.asarray(it + 1, theta.dtype)
+            t_adapt = t_adapt + 1.0
             hbar_n = ((1.0 - 1.0 / (t_adapt + t0)) * hbar
                       + (target_accept - a_mean) / (t_adapt + t0))
             log_eps = mu - jnp.sqrt(t_adapt) / gamma * hbar_n
@@ -97,30 +118,115 @@ def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
             eps = jnp.where(in_warmup, jnp.exp(log_eps),
                             jnp.exp(log_eps_bar))
 
+            if do_mass:
+                # accumulate local moments inside the active window
+                in_win = ((it >= win_starts[0]) & (it < w2)) | \
+                         ((it >= win_starts[1]) & (it < w34))
+                s1 = s1 + jnp.where(in_win, jnp.sum(theta, axis=0), 0.0)
+                s2 = s2 + jnp.where(in_win, jnp.sum(theta * theta, axis=0),
+                                    0.0)
+                cnt = cnt + jnp.where(in_win, jnp.asarray(c, dt), 0.0)
+
+                at_update = (it == w2 - 1) | (it == w34 - 1)
+                s1_tot = jax.lax.psum(s1, axis)
+                s2_tot = jax.lax.psum(s2, axis)
+                cnt_tot = jax.lax.psum(cnt, axis)
+                m = s1_tot / jnp.maximum(cnt_tot, 1.0)
+                var = s2_tot / jnp.maximum(cnt_tot, 1.0) - m * m
+                # Stan-style shrinkage toward unit scale for small windows
+                var = (cnt_tot / (cnt_tot + 5.0)) * var \
+                    + (5.0 / (cnt_tot + 5.0)) * 1e-3
+                minv_new = jnp.maximum(var, 1e-10)
+                minv = jnp.where(at_update, minv_new, minv)
+                # restart dual averaging at the current step size
+                mu = jnp.where(at_update, jnp.log(10.0 * eps), mu)
+                log_eps_bar = jnp.where(at_update, jnp.log(eps), log_eps_bar)
+                hbar = jnp.where(at_update, 0.0, hbar)
+                t_adapt = jnp.where(at_update, 0.0, t_adapt)
+                # reset the window accumulators
+                s1 = jnp.where(at_update, 0.0, s1)
+                s2 = jnp.where(at_update, 0.0, s2)
+                cnt = jnp.where(at_update, 0.0, cnt)
+
             acc = acc + jnp.where(it >= n_warmup, accepted.astype(acc.dtype),
                                   0.0)
-            return ((theta, tgt, grad, keys, acc, eps, log_eps_bar, hbar),
-                    theta)
+            return ((theta, tgt, grad, keys, acc, eps, mu, log_eps_bar,
+                     hbar, t_adapt, minv, s1, s2, cnt), theta)
 
         init = (theta_loc, t_init, g_init, keys_loc,
                 theta_loc[:, 0] * 0.0,  # per-chain accept counter (varying)
-                jnp.asarray(eps0, theta_loc.dtype),
-                jnp.asarray(jnp.log(eps0), theta_loc.dtype),
-                jnp.zeros((), theta_loc.dtype))
-        (theta, tgt, _, _, acc, eps, _, _), samples = jax.lax.scan(
-            one_iter, init, jnp.arange(total))
+                jnp.asarray(eps0, dt),
+                jnp.asarray(jnp.log(10.0 * eps0), dt),  # mu
+                jnp.asarray(jnp.log(eps0), dt),
+                jnp.zeros((), dt),  # hbar
+                jnp.zeros((), dt),  # t_adapt
+                jnp.ones((D,), dt),  # minv
+                jnp.zeros((D,), dt), jnp.zeros((D,), dt),  # s1, s2
+                jnp.zeros((), dt))  # cnt
+        (theta, tgt, _, _, acc, eps, _, _, _, _, minv, _, _, _), samples = \
+            jax.lax.scan(one_iter, init, jnp.arange(total))
         # samples: (total, c, D) -> keep post-warmup, thinned
         kept = samples[n_warmup:][::thin]
         kept = jnp.moveaxis(kept, 0, 1)  # (c, n_keep, D)
-        return kept, acc / n_iter, eps, theta, tgt
+        return kept, acc / n_iter, eps, minv, theta, tgt
 
     keys = jax.random.split(key, C)
     fn = shard_map(
         local_run, mesh=mesh,
         in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(), P(), P(axis), P(axis)),
         check_vma=False,
     )
-    kept, acc, eps, theta_f, tgt_f = jax.jit(fn)(theta0, keys)
+    kept, acc, eps, minv, theta_f, tgt_f = jax.jit(fn)(theta0, keys)
     return ShardedHMCResult(samples=kept, accept_rate=acc, eps_final=eps,
-                            final=theta_f, final_target=tgt_f)
+                            minv_final=minv, final=theta_f,
+                            final_target=tgt_f)
+
+
+@dataclass
+class ShardedESSResult:
+    samples: jnp.ndarray  # (C, n_iter, D)
+    mean_proposals: jnp.ndarray  # () fleet-wide mean shrinkage proposals
+    final: jnp.ndarray  # (C, D)
+    final_loglik: jnp.ndarray  # (C,)
+
+
+jax.tree_util.register_dataclass(
+    ShardedESSResult,
+    data_fields=["samples", "mean_proposals", "final", "final_loglik"],
+    meta_fields=[],
+)
+
+
+def sharded_ess(loglik_fn, theta0, prior_mu, prior_sigma, key, mesh: Mesh,
+                *, axis: str = "chains",
+                n_iter: int = 1000) -> ShardedESSResult:
+    """Run C elliptical-slice chains (ref ess, src/mcmc.jl:121-184) sharded
+    over `mesh` axis `axis`: vmapped per device, disjoint chain shards
+    across devices, with the mean shrinkage-proposal count psum-pooled as
+    the fleet diagnostic. theta0: (C, D), C divisible by the axis size."""
+    C, D = theta0.shape
+    n_dev = mesh.shape[axis]
+    if C % n_dev:
+        raise ValueError(f"{C} chains not divisible by {n_dev} devices")
+
+    def local_run(theta_loc, keys_loc):
+        c = theta_loc.shape[0]
+        res = jax.vmap(
+            lambda th, k: ess(loglik_fn, th, prior_mu, prior_sigma, k,
+                              n_iter=n_iter))(theta_loc, keys_loc)
+        psum_props = jax.lax.psum(jnp.sum(res.mean_proposals), axis)
+        n_tot = jax.lax.psum(jnp.asarray(c, psum_props.dtype), axis)
+        return (res.samples, psum_props / n_tot, res.final,
+                res.final_loglik)
+
+    keys = jax.random.split(key, C)
+    fn = shard_map(
+        local_run, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(), P(axis), P(axis)),
+        check_vma=False,
+    )
+    samples, props, theta_f, ll_f = jax.jit(fn)(theta0, keys)
+    return ShardedESSResult(samples=samples, mean_proposals=props,
+                            final=theta_f, final_loglik=ll_f)

@@ -59,7 +59,10 @@ def fitc_mll_sharded_fn(kernel_template, mesh: Mesh, axis: str = "data"):
         Kuf = kern.gram(Xu, X_loc)  # (m, n_loc)
         Lk = solve_lower(Luu, Kuf)
         qdiag = jnp.sum(Lk * Lk, axis=0)
-        d = jnp.maximum(noise_var + kern.diag(X_loc) - qdiag, 1e-10)
+        # clamp the residual (Kff - Qff >= 0 exactly) before adding noise:
+        # at N=100k f32, qdiag can overshoot kdiag and a raw floor of the
+        # whole sum collapses Lambda to ~0, exploding w = r/sqrt(d)
+        d = noise_var + jnp.maximum(kern.diag(X_loc) - qdiag, 0.0)
 
         W = Kuf.T / jnp.sqrt(d)[:, None]  # (n_loc, m)
         R_loc = jnp.linalg.qr(W, mode="r")  # (m, m)
