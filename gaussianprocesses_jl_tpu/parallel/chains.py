@@ -14,12 +14,20 @@ The reference runs one sequential chain (ref src/mcmc.jl:42). Here:
     lower-variance estimate than any single-chain window), with Stan-style
     shrinkage and a dual-averaging restart at each mass update. This is
     the psum-of-accept-stats pattern from SURVEY §2.9/§5.
+  * runs are **restartable**: the sampler executes in jitted segments of
+    `checkpoint_every` iterations; between segments the full sampler state
+    (chain positions, targets, gradients, per-chain RNG keys, adaptation
+    state, accumulated draws) is written atomically with
+    utils.checkpoint. A killed run resumed from its checkpoint reproduces
+    the uninterrupted chain bit-exactly, because per-iteration randomness
+    is keyed by fold_in(key, global_iteration) carried in the state.
 
 Also provides `sharded_ess`: the elliptical-slice sampler (ref
 src/mcmc.jl:121-184) vmapped per device and sharded over the same axis.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -30,6 +38,7 @@ from jax import shard_map
 
 from ..inference.ess import ess
 from ..inference.hmc import hmc_iteration
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
 
 __all__ = ["sharded_hmc", "ShardedHMCResult", "sharded_ess",
            "ShardedESSResult"]
@@ -56,7 +65,9 @@ jax.tree_util.register_dataclass(
 def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
                 n_iter: int = 1000, n_warmup: int = 0, eps0: float = 0.1,
                 Lmin: int = 5, Lmax: int = 15, target_accept: float = 0.8,
-                thin: int = 1, adapt_mass: bool = True) -> ShardedHMCResult:
+                thin: int = 1, adapt_mass: bool = True,
+                checkpoint_every: int | None = None,
+                checkpoint_path: str | None = None) -> ShardedHMCResult:
     """Run C chains of HMC sharded over `mesh` axis `axis`.
 
     theta0: (C, D) initial states, C divisible by the axis size.
@@ -67,13 +78,19 @@ def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
     3 n_warmup/4 from [n_warmup/2, 3 n_warmup/4) — pooling moments across
     every chain on every device with psum. Each mass update restarts the
     step-size dual averaging at the current eps. Warmup draws are
-    discarded. Keeps every `thin`-th draw."""
+    discarded; keeps every `thin`-th draw.
+
+    checkpoint_every/checkpoint_path: persist the full sampler state every
+    k iterations; if `checkpoint_path` exists the run RESUMES from it and
+    reproduces the uninterrupted chain bit-exactly."""
     C, D = theta0.shape
     n_dev = mesh.shape[axis]
     if C % n_dev:
         raise ValueError(f"{C} chains not divisible by {n_dev} devices")
+    if (checkpoint_every is None) != (checkpoint_path is None):
+        raise ValueError(
+            "checkpoint_every and checkpoint_path must be given together")
     total = n_warmup + n_iter
-    n_keep = n_iter // thin
     vg = jax.value_and_grad(logprob_fn)
 
     gamma, t0, kappa = 0.05, 10.0, 0.75
@@ -81,106 +98,142 @@ def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
     # mass-update iterations and their moment-window starts
     w2, w34 = n_warmup // 2, (3 * n_warmup) // 4
     win_starts = (n_warmup // 4, w2)
+    dt = theta0.dtype
 
-    def local_run(theta_loc, keys_loc):
-        # theta_loc: (c, D); keys_loc: (c,) base keys per local chain
-        c = theta_loc.shape[0]
+    def one_iter(carry, it):
+        (theta, tgt, grad, keys, acc, eps, mu, log_eps_bar, hbar,
+         t_adapt, minv, s1, s2, cnt) = carry
+        c = theta.shape[0]
+        keys = jax.vmap(jax.random.fold_in)(keys, jnp.full((c,), it))
+        step = jax.vmap(
+            lambda th, t, g, k: hmc_iteration(vg, th, t, g, k, eps,
+                                              Lmin, Lmax, minv=minv[0])
+        )
+        theta, tgt, grad, aprob, accepted = step(theta, tgt, grad, keys)
+
+        # collective mean acceptance across every chain on every device
+        global_asum = jax.lax.psum(jnp.sum(aprob), axis)
+        global_c = jax.lax.psum(jnp.asarray(c, aprob.dtype), axis)
+        a_mean = global_asum / global_c
+
+        # dual averaging (shared step size); t_adapt restarts after each
+        # mass update
+        in_warmup = it < n_warmup
+        t_adapt = t_adapt + 1.0
+        hbar_n = ((1.0 - 1.0 / (t_adapt + t0)) * hbar
+                  + (target_accept - a_mean) / (t_adapt + t0))
+        log_eps = mu - jnp.sqrt(t_adapt) / gamma * hbar_n
+        w = t_adapt ** (-kappa)
+        log_eps_bar_n = w * log_eps + (1.0 - w) * log_eps_bar
+        hbar = jnp.where(in_warmup, hbar_n, hbar)
+        log_eps_bar = jnp.where(in_warmup, log_eps_bar_n, log_eps_bar)
+        eps = jnp.where(in_warmup, jnp.exp(log_eps), jnp.exp(log_eps_bar))
+
+        if do_mass:
+            # accumulate local moments inside the active window
+            in_win = ((it >= win_starts[0]) & (it < w2)) | \
+                     ((it >= win_starts[1]) & (it < w34))
+            s1 = s1 + jnp.where(in_win, jnp.sum(theta, axis=0), 0.0)[None]
+            s2 = s2 + jnp.where(in_win, jnp.sum(theta * theta, axis=0),
+                                0.0)[None]
+            cnt = cnt + jnp.where(in_win, jnp.asarray(c, dt), 0.0)[None]
+
+            at_update = (it == w2 - 1) | (it == w34 - 1)
+            s1_tot = jax.lax.psum(s1[0], axis)
+            s2_tot = jax.lax.psum(s2[0], axis)
+            cnt_tot = jax.lax.psum(cnt[0], axis)
+            m = s1_tot / jnp.maximum(cnt_tot, 1.0)
+            var = s2_tot / jnp.maximum(cnt_tot, 1.0) - m * m
+            # Stan-style shrinkage toward unit scale for small windows
+            var = (cnt_tot / (cnt_tot + 5.0)) * var \
+                + (5.0 / (cnt_tot + 5.0)) * 1e-3
+            minv_new = jnp.maximum(var, 1e-10)
+            minv = jnp.where(at_update, minv_new[None], minv)
+            # restart dual averaging at the current step size
+            mu = jnp.where(at_update, jnp.log(10.0 * eps), mu)
+            log_eps_bar = jnp.where(at_update, jnp.log(eps), log_eps_bar)
+            hbar = jnp.where(at_update, 0.0, hbar)
+            t_adapt = jnp.where(at_update, 0.0, t_adapt)
+            # reset the window accumulators
+            s1 = jnp.where(at_update, 0.0, s1)
+            s2 = jnp.where(at_update, 0.0, s2)
+            cnt = jnp.where(at_update, 0.0, cnt)
+
+        acc = acc + jnp.where(it >= n_warmup, accepted.astype(acc.dtype),
+                              0.0)
+        return ((theta, tgt, grad, keys, acc, eps, mu, log_eps_bar,
+                 hbar, t_adapt, minv, s1, s2, cnt), theta)
+
+    def local_init(theta_loc, keys_loc):
         t_init, g_init = jax.vmap(vg)(theta_loc)
         g_init = jnp.where(jnp.isfinite(g_init), g_init, 0.0)
-        dt = theta_loc.dtype
-
-        def one_iter(carry, it):
-            (theta, tgt, grad, keys, acc, eps, mu, log_eps_bar, hbar,
-             t_adapt, minv, s1, s2, cnt) = carry
-            keys = jax.vmap(jax.random.fold_in)(keys, jnp.full((c,), it))
-            step = jax.vmap(
-                lambda th, t, g, k: hmc_iteration(vg, th, t, g, k, eps,
-                                                  Lmin, Lmax, minv=minv)
-            )
-            theta, tgt, grad, aprob, accepted = step(theta, tgt, grad, keys)
-
-            # collective mean acceptance across every chain on every device
-            global_asum = jax.lax.psum(jnp.sum(aprob), axis)
-            global_c = jax.lax.psum(jnp.asarray(c, aprob.dtype), axis)
-            a_mean = global_asum / global_c
-
-            # dual averaging (shared step size); t_adapt restarts after
-            # each mass update
-            in_warmup = it < n_warmup
-            t_adapt = t_adapt + 1.0
-            hbar_n = ((1.0 - 1.0 / (t_adapt + t0)) * hbar
-                      + (target_accept - a_mean) / (t_adapt + t0))
-            log_eps = mu - jnp.sqrt(t_adapt) / gamma * hbar_n
-            w = t_adapt ** (-kappa)
-            log_eps_bar_n = w * log_eps + (1.0 - w) * log_eps_bar
-            hbar = jnp.where(in_warmup, hbar_n, hbar)
-            log_eps_bar = jnp.where(in_warmup, log_eps_bar_n, log_eps_bar)
-            eps = jnp.where(in_warmup, jnp.exp(log_eps),
-                            jnp.exp(log_eps_bar))
-
-            if do_mass:
-                # accumulate local moments inside the active window
-                in_win = ((it >= win_starts[0]) & (it < w2)) | \
-                         ((it >= win_starts[1]) & (it < w34))
-                s1 = s1 + jnp.where(in_win, jnp.sum(theta, axis=0), 0.0)
-                s2 = s2 + jnp.where(in_win, jnp.sum(theta * theta, axis=0),
-                                    0.0)
-                cnt = cnt + jnp.where(in_win, jnp.asarray(c, dt), 0.0)
-
-                at_update = (it == w2 - 1) | (it == w34 - 1)
-                s1_tot = jax.lax.psum(s1, axis)
-                s2_tot = jax.lax.psum(s2, axis)
-                cnt_tot = jax.lax.psum(cnt, axis)
-                m = s1_tot / jnp.maximum(cnt_tot, 1.0)
-                var = s2_tot / jnp.maximum(cnt_tot, 1.0) - m * m
-                # Stan-style shrinkage toward unit scale for small windows
-                var = (cnt_tot / (cnt_tot + 5.0)) * var \
-                    + (5.0 / (cnt_tot + 5.0)) * 1e-3
-                minv_new = jnp.maximum(var, 1e-10)
-                minv = jnp.where(at_update, minv_new, minv)
-                # restart dual averaging at the current step size
-                mu = jnp.where(at_update, jnp.log(10.0 * eps), mu)
-                log_eps_bar = jnp.where(at_update, jnp.log(eps), log_eps_bar)
-                hbar = jnp.where(at_update, 0.0, hbar)
-                t_adapt = jnp.where(at_update, 0.0, t_adapt)
-                # reset the window accumulators
-                s1 = jnp.where(at_update, 0.0, s1)
-                s2 = jnp.where(at_update, 0.0, s2)
-                cnt = jnp.where(at_update, 0.0, cnt)
-
-            acc = acc + jnp.where(it >= n_warmup, accepted.astype(acc.dtype),
-                                  0.0)
-            return ((theta, tgt, grad, keys, acc, eps, mu, log_eps_bar,
-                     hbar, t_adapt, minv, s1, s2, cnt), theta)
-
-        init = (theta_loc, t_init, g_init, keys_loc,
-                theta_loc[:, 0] * 0.0,  # per-chain accept counter (varying)
+        # device-local accumulators (s1/s2/cnt and the replicated adaptation
+        # scalars) carry a leading singleton so they round-trip through
+        # shard_map out_specs as (n_dev, ...)-sharded arrays
+        return (theta_loc, t_init, g_init, keys_loc,
+                theta_loc[:, 0] * 0.0,  # per-chain accept counter
                 jnp.asarray(eps0, dt),
                 jnp.asarray(jnp.log(10.0 * eps0), dt),  # mu
                 jnp.asarray(jnp.log(eps0), dt),
                 jnp.zeros((), dt),  # hbar
                 jnp.zeros((), dt),  # t_adapt
-                jnp.ones((D,), dt),  # minv
-                jnp.zeros((D,), dt), jnp.zeros((D,), dt),  # s1, s2
-                jnp.zeros((), dt))  # cnt
-        (theta, tgt, _, _, acc, eps, _, _, _, _, minv, _, _, _), samples = \
-            jax.lax.scan(one_iter, init, jnp.arange(total))
-        # samples: (total, c, D) -> keep post-warmup, thinned
-        kept = samples[n_warmup:][::thin]
-        kept = jnp.moveaxis(kept, 0, 1)  # (c, n_keep, D)
-        return kept, acc / n_iter, eps, minv, theta, tgt
+                jnp.ones((1, D), dt),  # minv (shared; stored per device)
+                jnp.zeros((1, D), dt), jnp.zeros((1, D), dt),  # s1, s2
+                jnp.zeros((1,), dt))  # cnt
+
+    def local_segment(carry, its):
+        return jax.lax.scan(one_iter, carry, its)
+
+    # carry sharding: per-chain leaves over `axis`, adaptation scalars
+    # replicated, per-device accumulators sharded by their singleton axis
+    carry_specs = (P(axis), P(axis), P(axis), P(axis), P(axis),
+                   P(), P(), P(), P(), P(),
+                   P(axis), P(axis), P(axis), P(axis))
+
+    init_fn = shard_map(
+        local_init, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=carry_specs, check_vma=False)
+    seg_fn = jax.jit(shard_map(
+        local_segment, mesh=mesh, in_specs=(carry_specs, P()),
+        out_specs=(carry_specs, P(None, axis)), check_vma=False))
 
     keys = jax.random.split(key, C)
-    fn = shard_map(
-        local_run, mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(), P(), P(axis), P(axis)),
-        check_vma=False,
-    )
-    kept, acc, eps, minv, theta_f, tgt_f = jax.jit(fn)(theta0, keys)
-    return ShardedHMCResult(samples=kept, accept_rate=acc, eps_final=eps,
-                            minv_final=minv, final=theta_f,
-                            final_target=tgt_f)
+    carry = jax.jit(init_fn)(theta0, keys)
+
+    seg = checkpoint_every if checkpoint_every is not None else total
+    sample_chunks = []
+    it_done = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        like = {"carry": carry, "it_done": jnp.zeros((), jnp.int32),
+                "samples": jnp.zeros((total, C, D), dt)}
+        st = load_checkpoint(checkpoint_path, like)
+        carry = st["carry"]
+        it_done = int(st["it_done"])
+        if it_done:
+            sample_chunks.append(st["samples"][:it_done])
+
+    while it_done < total:
+        n_step = min(seg, total - it_done)
+        its = jnp.arange(it_done, it_done + n_step)
+        carry, chunk = seg_fn(carry, its)  # chunk: (n_step, C, D)
+        sample_chunks.append(chunk)
+        it_done += n_step
+        if checkpoint_path is not None and it_done < total:
+            samples_so_far = jnp.concatenate(sample_chunks, axis=0)
+            pad = jnp.zeros((total - it_done, C, D), dt)
+            save_checkpoint(checkpoint_path, {
+                "carry": carry,
+                "it_done": jnp.asarray(it_done, jnp.int32),
+                "samples": jnp.concatenate([samples_so_far, pad], axis=0),
+            })
+
+    samples = jnp.concatenate(sample_chunks, axis=0)  # (total, C, D)
+    (theta_f, tgt_f, _, _, acc, eps, _, _, _, _, minv, _, _, _) = carry
+    kept = samples[n_warmup:][::thin]
+    kept = jnp.moveaxis(kept, 0, 1)  # (C, n_keep, D)
+    return ShardedHMCResult(samples=kept, accept_rate=acc / n_iter,
+                            eps_final=eps, minv_final=minv[0],
+                            final=theta_f, final_target=tgt_f)
 
 
 @dataclass

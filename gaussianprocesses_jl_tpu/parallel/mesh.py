@@ -7,14 +7,25 @@ Axis conventions:
 
   'chains' — data-parallel axis for MCMC chains / VI batches (config #5)
   'data'   — observation axis n for sharded gram/FITC reductions (config #4)
-"""
+  'j'      — tile-column axis for the distributed dense Cholesky (TP)
+
+Multi-host story (ICI vs DCN): within a slice, chips are connected by ICI
+(fast torus links — all shard_map collectives in this package ride it);
+across slices/pods the links are DCN (datacenter network, ~10-100x lower
+bandwidth). The rule encoded in `make_pod_mesh`: put the *embarrassingly
+parallel* axis ('chains' — one psum of a few scalars per HMC iteration)
+OUTERMOST so it maps onto DCN, and keep bandwidth-hungry axes ('j' panel
+broadcasts, 'data' gram reductions) innermost on ICI. jax device order
+already groups each process's local chips contiguously, so an outer axis
+of size n_slices naturally falls on slice boundaries."""
 from __future__ import annotations
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "Mesh", "NamedSharding", "P"]
+__all__ = ["make_mesh", "make_pod_mesh", "initialize_distributed", "Mesh",
+           "NamedSharding", "P"]
 
 
 def make_mesh(axis_sizes: dict | None = None, devices=None) -> Mesh:
@@ -29,4 +40,62 @@ def make_mesh(axis_sizes: dict | None = None, devices=None) -> Mesh:
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
     arr = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(arr, names)
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Join (or start) the multi-host JAX runtime.
+
+    On Cloud TPU pods the arguments are auto-detected from the TPU
+    metadata (call with no arguments from every host); elsewhere pass the
+    coordinator host:port and this process's rank explicitly, or set
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID. After
+    this returns, `jax.devices()` spans every chip in the job and
+    make_mesh/make_pod_mesh build global meshes whose collectives ride ICI
+    within a slice and DCN across slices (see module docstring). Safe to
+    call twice (the second call is a no-op)."""
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kwargs["coordinator_address"] = addr
+    npr = (num_processes if num_processes is not None
+           else os.environ.get("JAX_NUM_PROCESSES"))
+    if npr is not None:
+        kwargs["num_processes"] = int(npr)
+    pid = (process_id if process_id is not None
+           else os.environ.get("JAX_PROCESS_ID"))
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # single-process run (no coordinator reachable / already set up)
+        pass
+
+
+def make_pod_mesh(inner: dict, outer_axis: str = "chains",
+                  devices=None) -> Mesh:
+    """Mesh for a multi-slice job: `outer_axis` spans processes/slices
+    (DCN — keep it to low-volume collectives like the psum'd accept
+    statistics), `inner` axes subdivide each slice's chips (ICI — panel
+    broadcasts, ring permutes, gram reductions).
+
+    Example: 2 hosts x 4 chips, make_pod_mesh({'j': 4}) ->
+    Mesh(('chains', 'j'), shape (2, 4)): chain shards per host, each
+    factorizing its own tile-columns over its local ICI ring."""
+    devices = devices if devices is not None else jax.devices()
+    n_inner = int(np.prod(tuple(inner.values())))
+    if len(devices) % n_inner:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by inner size {n_inner}")
+    n_outer = len(devices) // n_inner
+    names = (outer_axis,) + tuple(inner)
+    shape = (n_outer,) + tuple(inner.values())
+    arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, names)

@@ -162,3 +162,77 @@ def test_sharded_ess_gaussian_moments():
     assert np.allclose(s.std(0), np.sqrt(post_var), rtol=0.1)
     assert float(res.mean_proposals) > 1.0
     assert np.all(np.isfinite(np.asarray(res.final_loglik)))
+
+
+def test_sharded_hmc_checkpoint_resume_bit_exact(tmp_path):
+    """Kill-and-resume: a run checkpointed every 50 iterations and resumed
+    from disk must reproduce the uninterrupted chain bit-exactly
+    (VERDICT round-1 item 9)."""
+    mesh = make_mesh({"chains": 8})
+    sd = jnp.asarray([0.5, 2.0])
+
+    def logp(th):
+        return -0.5 * jnp.sum((th / sd) ** 2)
+
+    C = 16
+    theta0 = 0.1 * jax.random.normal(jax.random.PRNGKey(7), (C, 2))
+    kw = dict(n_iter=150, n_warmup=50, eps0=0.05)
+
+    ref = sharded_hmc(logp, theta0, jax.random.PRNGKey(8), mesh, **kw)
+
+    path = str(tmp_path / "hmc.ckpt.npz")
+    # "killed" run: execute only the first segments by monkeypatching the
+    # loop via a small total — instead simulate the kill by running with
+    # checkpointing, then DELETING the in-memory result and re-running,
+    # which must pick up the checkpoint file, not recompute from scratch.
+    import gaussianprocesses_jl_tpu.parallel.chains as chains_mod
+
+    # first run writes checkpoints every 50 iters (and stops mid-way:
+    # interrupt by raising from a save hook after the 2nd segment)
+    calls = {"n": 0}
+    orig_save = chains_mod.save_checkpoint
+
+    def interrupting_save(p, state):
+        orig_save(p, state)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt  # simulate the pod job dying
+
+    chains_mod.save_checkpoint = interrupting_save
+    try:
+        sharded_hmc(logp, theta0, jax.random.PRNGKey(8), mesh,
+                    checkpoint_every=50, checkpoint_path=path, **kw)
+        raise AssertionError("interrupt did not fire")
+    except KeyboardInterrupt:
+        pass
+    finally:
+        chains_mod.save_checkpoint = orig_save
+
+    import os
+    assert os.path.exists(path)
+    resumed = sharded_hmc(logp, theta0, jax.random.PRNGKey(8), mesh,
+                          checkpoint_every=50, checkpoint_path=path, **kw)
+
+    assert np.array_equal(np.asarray(resumed.samples),
+                          np.asarray(ref.samples))
+    assert np.array_equal(np.asarray(resumed.final), np.asarray(ref.final))
+    assert float(resumed.eps_final) == float(ref.eps_final)
+
+
+def test_make_pod_mesh_axes():
+    from gaussianprocesses_jl_tpu.parallel.mesh import make_pod_mesh
+
+    mesh = make_pod_mesh({"j": 4})
+    assert mesh.axis_names == ("chains", "j")
+    assert mesh.shape["chains"] == 2 and mesh.shape["j"] == 4
+
+    # a 2D chains x j mesh runs the distributed dense path per chain group
+    from gaussianprocesses_jl_tpu.parallel.cholesky import distributed_mll
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.randn(32, 2))
+    y = jnp.asarray(np.sin(np.asarray(X[:, 0])))
+    m = gp.GPE(X, y, kernel=gp.SE(0.0, 0.0), lognoise=-1.0)
+    nv = float(np.exp(2 * np.asarray(m.lognoise)))
+    mll = distributed_mll(m.params.kernel, nv, X, y, B=4, mesh=mesh,
+                          axis="j")
+    assert np.allclose(float(mll), float(m.mll), rtol=1e-9)
