@@ -95,9 +95,9 @@ def bench_one(name, kern, X, y, n_trials=5, reps=20):
         return jax.value_and_grad(f)(v)
 
     @jax.jit
-    def many(v0):
+    def many(v0, t):
         def body(carry, i):
-            val, g = mll_and_grad(v0 + 1e-6 * i)
+            val, g = mll_and_grad(v0 + 1e-6 * i + t)
             return carry + val + (jnp.sum(g) if g.size else 0.0), val
 
         acc, vals = jax.lax.scan(
@@ -105,12 +105,14 @@ def bench_one(name, kern, X, y, n_trials=5, reps=20):
             jnp.arange(reps, dtype=X.dtype))
         return acc, vals[0]
 
-    out = many(vec)  # compile + warmup
+    # each trial perturbs the input: the remote-TPU tunnel can cache
+    # identical (executable, args) executions
+    out = many(vec, jnp.zeros((), X.dtype))  # compile + warmup
     jax.block_until_ready(out)
     best = np.inf
-    for _ in range(n_trials):
+    for t in range(n_trials):
         t0 = time.perf_counter()
-        out = many(vec)
+        out = many(vec, jnp.asarray(1e-7 * (t + 1), X.dtype))
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / reps)
     return best * 1e3, float(out[1])
@@ -125,91 +127,105 @@ def bench_gram_one(kern, X, n_trials=5, reps=20):
     vec = kern.flat_params()
 
     @jax.jit
-    def many(v0):
+    def many(v0, t):
         def body(carry, i):
-            K = kern.with_flat_params(v0 + 1e-6 * i).gram(X)
+            K = kern.with_flat_params(v0 + 1e-6 * i + t).gram(X)
             return carry + K[0, 0] + K[-1, -1], None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((), X.dtype),
                               jnp.arange(reps, dtype=X.dtype))
         return acc
 
-    out = many(vec)
+    out = many(vec, jnp.zeros((), X.dtype))
     jax.block_until_ready(out)
     best = np.inf
-    for _ in range(n_trials):
+    for t in range(n_trials):
         t0 = time.perf_counter()
-        out = many(vec)
+        out = many(vec, jnp.asarray(1e-7 * (t + 1), X.dtype))
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / reps)
     return best * 1e3
 
 
 def bench_cholesky(n=10000, reps=8, n_trials=4):
-    """f32 Cholesky TFLOP/s at N=n on the chip (BASELINE.json metric), with
-    a measured large-GEMM roofline anchor for the fraction-of-peak claim.
+    """f32 Cholesky TFLOP/s at N=n on the chip (BASELINE.json metric):
+    the library's left-looking blocked MXU Cholesky (ops/linalg.py
+    blocked_cholesky — what safe_cholesky/dense_quad_logdet use at this
+    size) and XLA's jnp.linalg.cholesky for reference, with a measured
+    large-GEMM roofline anchor for the fraction-of-peak claim.
 
     The PD input is W W^T + n I (W n x 256) built on device; each rep
-    perturbs the diagonal so the scan's factorizations cannot be CSE'd; the
-    log-det is accumulated so nothing is dead code."""
+    perturbs the diagonal so the scan's factorizations cannot be CSE'd;
+    each trial perturbs the input (the remote-TPU tunnel can cache
+    identical executions); the log-det is accumulated so nothing is dead
+    code."""
     import jax
     import jax.numpy as jnp
+
+    from gaussianprocesses_jl_tpu.ops.linalg import blocked_cholesky
 
     key = jax.random.PRNGKey(0)
     W = jax.random.normal(key, (n, 256), dtype=jnp.float32)
     K = W @ W.T + n * jnp.eye(n, dtype=jnp.float32)
 
-    @jax.jit
-    def many_chol(K):
-        idx = jnp.arange(n)
+    def time_chol(chol_fn):
+        @jax.jit
+        def many_chol(K, t):
+            idx = jnp.arange(n)
 
-        def body(carry, i):
-            Ki = K.at[idx, idx].add(1e-3 * (i + 1.0))
-            L = jnp.linalg.cholesky(Ki)
-            return carry + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L))), None
+            def body(carry, i):
+                Ki = K.at[idx, idx].add(1e-3 * (i + 1.0) + t)
+                L = chol_fn(Ki)
+                return carry + 2.0 * jnp.sum(jnp.log(jnp.diagonal(L))), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                              jnp.arange(reps, dtype=jnp.float32))
-        return acc
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                  jnp.arange(reps, dtype=jnp.float32))
+            return acc
 
-    out = many_chol(K)
-    jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(n_trials):
-        t0 = time.perf_counter()
-        out = many_chol(K)
+        out = many_chol(K, jnp.float32(0.0))
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / reps)
-    chol_s = best
-    chol_tflops = (n**3 / 3.0) / chol_s / 1e12
+        best = np.inf
+        for t in range(n_trials):
+            t0 = time.perf_counter()
+            out = many_chol(K, jnp.float32(1e-4 * (t + 1)))
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
+
+    blocked_s = time_chol(lambda Ki: blocked_cholesky(Ki)[0])
+    xla_s = time_chol(jnp.linalg.cholesky)
+    chol_tflops = (n**3 / 3.0) / blocked_s / 1e12
 
     # measured practical GEMM peak (f32 inputs, default TPU precision)
     m = 4096
     A = jax.random.normal(key, (m, m), dtype=jnp.float32)
 
     @jax.jit
-    def many_mm(A):
+    def many_mm(A, t):
         def body(C, i):
-            return C + jnp.dot(A + 1e-6 * i, A), None
+            return C + jnp.dot(A + 1e-6 * i + t, A), None
 
         C, _ = jax.lax.scan(body, jnp.zeros_like(A),
                             jnp.arange(reps, dtype=jnp.float32))
         return C[0, 0]
 
-    out = many_mm(A)
+    out = many_mm(A, jnp.float32(0.0))
     jax.block_until_ready(out)
     best_mm = np.inf
-    for _ in range(n_trials):
+    for t in range(n_trials):
         t0 = time.perf_counter()
-        out = many_mm(A)
+        out = many_mm(A, jnp.float32(1e-6 * (t + 1)))
         jax.block_until_ready(out)
         best_mm = min(best_mm, (time.perf_counter() - t0) / reps)
     gemm_tflops = (2.0 * m**3) / best_mm / 1e12
 
     return {
         "n": n,
-        "ms": round(chol_s * 1e3, 3),
+        "ms": round(blocked_s * 1e3, 3),
         "tflops": round(chol_tflops, 3),
+        "xla_ms": round(xla_s * 1e3, 3),
+        "xla_tflops": round((n**3 / 3.0) / xla_s / 1e12, 3),
+        "vs_xla": round(xla_s / blocked_s, 3),
         "gemm_peak_tflops": round(gemm_tflops, 2),
         "frac_gemm_peak": round(chol_tflops / gemm_tflops, 4),
     }

@@ -98,6 +98,19 @@ class Kernel(Module):
 # ---------------------------------------------------------------------------
 
 
+def _stationary_gram(kern, X1, X2):
+    """profile(sqdist(X1, X2)) — large symmetric f32 grams on TPU route
+    through the tiled Pallas kernel (measured 1.16-1.27x over XLA from
+    n=8192 up; perf/README.md §2), everything else through the XLA
+    expansion. Both paths share the module's own _r2profile; gradients of
+    the Pallas path are the XLA path's (custom_vjp)."""
+    from .pallas_gram import pallas_gram_supported, stationary_gram_pallas
+
+    if pallas_gram_supported(kern, X1, X2):
+        return stationary_gram_pallas(kern, X1, X2)
+    return kern._r2profile(sqdist(X1, X2))
+
+
 class _IsoSq(Kernel):
     """Isotropic kernel over squared Euclidean distance (unscaled r2)."""
 
@@ -105,7 +118,7 @@ class _IsoSq(Kernel):
         raise NotImplementedError
 
     def gram(self, X1, X2=None):
-        return self._r2profile(sqdist(X1, X2))
+        return _stationary_gram(self, X1, X2)
 
 
 class _IsoR(Kernel):
@@ -114,8 +127,11 @@ class _IsoR(Kernel):
     def _rprofile(self, r):
         raise NotImplementedError
 
+    def _r2profile(self, r2):
+        return self._rprofile(safe_dist(r2))
+
     def gram(self, X1, X2=None):
-        return self._rprofile(safe_dist(sqdist(X1, X2)))
+        return _stationary_gram(self, X1, X2)
 
 
 class _ArdSq(Kernel):
@@ -128,8 +144,8 @@ class _ArdSq(Kernel):
         return X * jnp.exp(-self.ll)[None, :]
 
     def gram(self, X1, X2=None):
-        return self._r2profile(
-            sqdist(self._scale(X1), None if X2 is None else self._scale(X2))
+        return _stationary_gram(
+            self, self._scale(X1), None if X2 is None else self._scale(X2)
         )
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "symmetrize",
     "default_jitter",
     "tri_inv_lower",
+    "blocked_cholesky",
     "dense_quad_logdet",
     "set_grad_gemm_precision",
 ]
@@ -59,8 +60,11 @@ def safe_cholesky(K: jnp.ndarray):
 
     Returns (L, ok). When the factorization fails (NaNs), L is replaced by
     the identity so downstream solves stay finite; callers must gate on
-    `ok` (the reference's numerical-failure rejection pattern)."""
-    L = jnp.linalg.cholesky(K)
+    `ok` (the reference's numerical-failure rejection pattern).
+
+    Large f32 factorizations on TPU route through `blocked_cholesky`
+    (measured 1.26x over XLA's kernel at n=10240 — see perf/README.md)."""
+    L = _chol(K)
     ok = jnp.all(jnp.isfinite(L))
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
     L = jnp.where(ok, L, eye)
@@ -85,6 +89,94 @@ def chol_solve(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
 def chol_logdet(L: jnp.ndarray) -> jnp.ndarray:
     """log det(L L^T) = 2 sum log diag(L)."""
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Blocked left-looking Cholesky — beats XLA's kernel for large f32 K
+# ---------------------------------------------------------------------------
+#
+# XLA's cholesky on TPU serializes over ~n/128 panel factorizations; at
+# n=10240/f32 it reaches 12.6 TFLOP/s against a measured 34 TFLOP/s GEMM
+# ceiling. A left-looking blocked reformulation keeps the same panel
+# latency chain but (a) uses 1024-wide panels so only n/1024 sequential
+# units remain, (b) turns every cross-panel update into one large GEMM,
+# and (c) replaces the panel TRSM with a GEMM against the panel inverse
+# (tri_inv_lower). Measured at n=10240 f32 on TPU v5e: 22.5 ms /
+# 15.9 TFLOP/s (HIGH cross-panel GEMMs) vs 28.4 ms / 12.6 TFLOP/s for
+# jnp.linalg.cholesky, with identical max |dL| = 2.3e-5. A fused Pallas
+# panel kernel was built and measured slower (0.6 ms/launch overhead);
+# the full study is perf/pallas_cholesky_study.py + perf/README.md.
+
+# cross-panel GEMM precision: HIGH = 3-pass bf16, which measured the same
+# factor error as 6-pass at n=10240 (the panel factorizations and solves
+# always run at HIGHEST)
+_BLOCKED_CHOL_PRECISION = jax.lax.Precision.HIGH
+_BLOCKED_CHOL_MIN_N = 8192  # measured crossover vs XLA's kernel
+
+
+def blocked_cholesky(K: jnp.ndarray, block: int = 1024,
+                     precision=None) -> tuple:
+    """Left-looking blocked Cholesky with fused log-det: (L, logdet).
+
+    Panels are factorized by `jnp.linalg.cholesky` and solved via their
+    MXU-built triangular inverse; all cross-panel work is GEMMs at
+    `precision` (default HIGH — see _BLOCKED_CHOL_PRECISION). Equals the
+    XLA factorization to rounding; NaNs propagate on indefinite input
+    (gate with safe_cholesky)."""
+    precision = _BLOCKED_CHOL_PRECISION if precision is None else precision
+    n = K.shape[-1]
+    B = block
+    if n <= B:
+        L = jnp.linalg.cholesky(K)
+        return L, chol_logdet(L)
+    nb = -(-n // B)
+    npad = nb * B
+    if npad != n:
+        # identity tail: PSD, factor = identity, contributes 0 to logdet
+        A = jnp.zeros((npad, npad), K.dtype)
+        A = A.at[:n, :n].set(K)
+        A = A.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+    else:
+        A = K
+    cols = []
+    for k in range(nb):
+        Acol = A[k * B:, k * B:(k + 1) * B]
+        if k > 0:
+            # subtract the contribution of every finished panel in ONE
+            # GEMM: A[kB:, kB:(k+1)B] -= L[kB:, :kB] L[kB:(k+1)B, :kB]^T
+            P = jnp.concatenate(
+                [cols[j][(k - j) * B:, :] for j in range(k)], axis=1)
+            Acol = Acol - jnp.matmul(P, P[:B, :].T, precision=precision)
+        lkk = jnp.linalg.cholesky(Acol[:B, :B])
+        if k + 1 < nb:
+            linvT = tri_inv_lower(lkk).T
+            Lpan = jnp.matmul(Acol[B:, :], linvT, precision=_HIGH)
+            cols.append(jnp.concatenate([jnp.tril(lkk), Lpan], axis=0))
+        else:
+            cols.append(jnp.tril(lkk))
+    rows = []
+    for i in range(nb):
+        parts = [cols[j][(i - j) * B:(i - j + 1) * B, :]
+                 for j in range(i + 1)]
+        if i + 1 < nb:
+            parts.append(jnp.zeros((B, (nb - 1 - i) * B), K.dtype))
+        rows.append(jnp.concatenate(parts, axis=1))
+    L = jnp.concatenate(rows, axis=0)[:n, :n]
+    return L, chol_logdet(L)
+
+
+def _use_blocked(K) -> bool:
+    """Route to blocked_cholesky only where it measured faster: one big
+    f32 matrix on the TPU backend (trace-time static decision)."""
+    return (K.ndim == 2 and K.shape[-1] >= _BLOCKED_CHOL_MIN_N
+            and K.dtype == jnp.float32
+            and jax.default_backend() == "tpu")
+
+
+def _chol(K: jnp.ndarray) -> jnp.ndarray:
+    if _use_blocked(K):
+        return blocked_cholesky(K)[0]
+    return jnp.linalg.cholesky(K)
 
 
 # ---------------------------------------------------------------------------
@@ -154,7 +246,7 @@ def dense_quad_logdet(K: jnp.ndarray, r: jnp.ndarray):
     replaces the Cholesky-VJP triangular solves by an explicit MXU-built
     inverse (the reference's ααᵀ − K⁻¹ precompute, ref src/GPE.jl:151-164,
     re-derived for TPU)."""
-    L = jnp.linalg.cholesky(K)
+    L = _chol(K)
     w = solve_triangular(L, r, lower=True)
     quad = jnp.sum(w * w)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
@@ -178,7 +270,7 @@ def set_grad_gemm_precision(precision) -> None:
 
 
 def _dql_fwd(K, r):
-    L = jnp.linalg.cholesky(K)
+    L = _chol(K)
     Linv = tri_inv_lower(L)
     # the primal w comes from the same triangular solve as the no-grad path,
     # so gp.mll and target_and_dtarget()[0] agree bit-for-bit; the explicit
