@@ -232,7 +232,13 @@ def bench_cholesky(n=10000, reps=8, n_trials=4):
 
 
 def bench_gpa_ess(n=200, d=5, chains=16, n_iter=600, warmup=100,
-                  eps=0.02):
+                  eps=0.05):
+    # eps picked by on-chip sweep: 0.02 -> accept .96, med 16 eff/s;
+    # 0.05 -> accept .72, med 40 eff/s; 0.08 diverges (stuck chains).
+    # Collective dual-averaging (parallel/chains.sharded_hmc) finds the
+    # same eps~0.055 but its segmented/checkpointable runner costs 2.6x
+    # wall at this tiny scale, so the published single-chip metric uses
+    # the plain vmapped sampler at the swept step size.
     """Effective samples/sec/chip on GPA Bernoulli classification
     (BASELINE.json metric; config #2). Crabs-shaped synthetic data
     (n=200, d=5, Matern-3/2 ARD kernel + probit likelihood — ref
@@ -395,25 +401,33 @@ def main():
     X = jnp.asarray(rng.randn(n, d), dtype=jnp.float32)
     y = jnp.asarray(rng.randn(n), dtype=jnp.float32)
 
+    # the whole reference kernel table is part of the default record
+    # (BASELINE.md); the headline 'se' row gets full trials, the rest use
+    # fewer trials (compile time dominates them anyway)
     ks = kernels(gp, jnp)
     rows = {}
-    names = list(ks) if full else ["se"]
-    for name in names:
-        ms, mll = bench_one(name, ks[name], X, y)
+    for name in ks:
+        if name == "se":
+            ms, mll = bench_one(name, ks[name], X, y)
+        else:
+            ms, mll = bench_one(name, ks[name], X, y, n_trials=2, reps=10)
         rows[name] = ms
-        if full:
-            print(f"# {name:22s} {ms:9.2f} ms   (ref {REF_MS[name]:7.1f} ms, "
-                  f"speedup {REF_MS[name] / ms:6.1f}x)  mll={mll:.2f}",
-                  file=sys.stderr)
+        print(f"# {name:22s} {ms:9.2f} ms   (ref {REF_MS[name]:7.1f} ms, "
+              f"speedup {REF_MS[name] / ms:6.1f}x)  mll={mll:.2f}",
+              file=sys.stderr)
 
     chol = bench_cholesky()
     print(f"# cholesky n={chol['n']}: {chol['ms']} ms = {chol['tflops']} "
           f"TFLOP/s ({100 * chol['frac_gemm_peak']:.1f}% of measured "
-          f"{chol['gemm_peak_tflops']} TFLOP/s GEMM peak)", file=sys.stderr)
+          f"{chol['gemm_peak_tflops']} TFLOP/s GEMM peak; xla "
+          f"{chol['xla_ms']} ms)", file=sys.stderr)
     gpa = bench_gpa_ess()
     print(f"# gpa classification: {gpa['ess_per_sec_min']} (min) / "
           f"{gpa['ess_per_sec_median']} (median) eff samples/sec/chip, "
           f"accept={gpa['accept_rate']}", file=sys.stderr)
+    fitc = bench_fitc100k()
+    print(f"# fitc N=100k: {fitc['step_ms']} ms per mll+grad+update step",
+          file=sys.stderr)
 
     ms = rows["se"]
     result = {
@@ -423,9 +437,11 @@ def main():
         "vs_baseline": round(REF_MS["se"] / ms, 2),
         "cholesky_n10k": chol,
         "gpa_classification_ess": gpa,
+        "fitc_100k": fitc,
+        "kernel_table_ms": {k: round(v, 3) for k, v in rows.items()},
+        "kernel_table_speedup": {
+            k: round(REF_MS[k] / v, 1) for k, v in rows.items()},
     }
-    if full:
-        result["kernel_table_ms"] = {k: round(v, 3) for k, v in rows.items()}
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
