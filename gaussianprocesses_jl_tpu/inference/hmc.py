@@ -59,8 +59,16 @@ def hmc_iteration(vg: Callable, theta, tgt, grad, key, eps, Lmin: int,
     and the kinetic energy is nu^T M^-1 nu / 2.
 
     Returns (theta', tgt', grad', accept_prob, accepted). Fixed-length
-    Lmax leapfrog with masking for the randomized L; non-finite proposals
-    reject outright."""
+    Lmax leapfrog with masking for the randomized L. Non-finite targets:
+    the trajectory *glides* through points whose target/gradient is
+    non-finite (force treated as 0 there — a pure function of position, so
+    the integrator stays reversible and volume-preserving) and the MH test
+    uses the true target at the endpoint, so a proposal ending in a -inf
+    region still rejects outright (ref src/mcmc.jl:19-29 semantics).
+    Freezing the trajectory at the first -inf point instead (the previous
+    behavior) permanently traps chains whose start is -inf once the
+    adapted step size shrinks — recovery then needs a single-step exit.
+    Only non-finite *positions* (overflowed momenta) freeze + reject."""
     D = theta.shape[0]
     eps = jnp.asarray(eps, dtype=theta.dtype)
     minv = (jnp.ones((D,), theta.dtype) if minv is None
@@ -74,13 +82,16 @@ def hmc_iteration(vg: Callable, theta, tgt, grad, key, eps, Lmin: int,
         active = jnp.logical_and(l < L, jnp.logical_not(bad))
         th_n = th + eps * minv * nu
         t_n, g_n = vg(th_n)
-        ok = jnp.isfinite(t_n) & _finite(g_n) & _finite(th_n)
-        bad_n = jnp.where(active, jnp.logical_not(ok), bad)
-        use = active & ok
+        # force field: the gradient where finite, 0 elsewhere (glide)
+        g_eff = jnp.where(jnp.isfinite(g_n), g_n, 0.0)
+        bad_n = jnp.where(active, jnp.logical_not(_finite(th_n)), bad)
+        use = active & _finite(th_n)
         th = jnp.where(use, th_n, th)
-        g = jnp.where(use, g_n, g)
+        g = jnp.where(use, g_eff, g)
+        # t tracks the TRUE target at the current position (may be -inf /
+        # NaN mid-path; the MH test below only sees the endpoint value)
         t = jnp.where(use, t_n, t)
-        nu = jnp.where(use, nu + eps * g_n, nu)
+        nu = jnp.where(use, nu + eps * g_eff, nu)
         return (th, nu, g, t, bad_n), None
 
     nu = nu0 + 0.5 * eps * grad
@@ -94,11 +105,15 @@ def hmc_iteration(vg: Callable, theta, tgt, grad, key, eps, Lmin: int,
     kin = 0.5 * jnp.dot(nu * minv, nu)
     kin0 = 0.5 * jnp.dot(nu0 * minv, nu0)
     log_alpha = t - kin - tgt + kin0
-    accept_prob = jnp.where(bad, 0.0,
-                            jnp.minimum(1.0, jnp.exp(jnp.minimum(
-                                log_alpha, 0.0))))
+    # an endpoint with non-finite target must never be accepted, and a
+    # NaN log_alpha (e.g. -inf - -inf) must not poison the accept-prob
+    # statistic that drives collective step-size adaptation
+    ok_end = jnp.isfinite(t) & jnp.logical_not(bad)
+    accept_prob = jnp.where(ok_end, jnp.exp(jnp.minimum(log_alpha, 0.0)),
+                            0.0)
+    accept_prob = jnp.where(jnp.isnan(accept_prob), 0.0, accept_prob)
     u = jnp.log(jax.random.uniform(k_mh, (), dtype=theta.dtype))
-    accepted = jnp.logical_and(u < log_alpha, jnp.logical_not(bad))
+    accepted = (u < log_alpha) & ok_end
     theta = jnp.where(accepted, th, theta)
     tgt = jnp.where(accepted, t, tgt)
     grad = jnp.where(accepted, g, grad)

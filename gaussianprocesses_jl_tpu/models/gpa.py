@@ -298,8 +298,6 @@ class GPA:
 
     def rand(self, key, xs, n_samples: int = 1):
         """Sample latent draws at xs from the current (v, theta) posterior."""
-        from .gpe import GPE
-
         mu, cov = self.predict_f(xs, full_cov=True)
         w, U = jnp.linalg.eigh(cov)
         scale = jnp.sqrt(jnp.maximum(w, 0.0))

@@ -428,18 +428,26 @@ class Poly(Kernel):
 class Noise(Kernel):
     """White noise: sigma^2 * delta(x ~= x') (ref: src/kernels/noise.jl).
 
-    The reference uses Julia's `isapprox` per coordinate; here two points are
-    "the same location" when their squared distance is below an absolute
-    tolerance, which reproduces the behavior on the training diagonal and for
-    genuinely duplicated points."""
+    The reference tests approximate equality per coordinate with Julia's
+    relative `isapprox` (default rtol = sqrt(eps); ref
+    src/kernels/noise.jl:31-39). The squared-distance analog used here:
+    points coincide when d2(x, x') <= eps * max(|x|^2, |x'|^2, 1) — note
+    rtol^2 = eps, so this is the same relative scale as the reference's
+    per-coordinate test (worst-coordinate sense), with an absolute floor
+    near the origin. Relative (not absolute) tolerance matters in f32:
+    duplicated points with coordinates ~1e3 round d2 at exactly the
+    eps * |x|^2 scale through the MXU gram expansion."""
 
     lsigma: Any
     priors: tuple = ()
-    _TOL2 = 1e-16
 
     def gram(self, X1, X2=None):
         d2 = sqdist(X1, X2)
-        return jnp.where(d2 <= self._TOL2, jnp.exp(2.0 * self.lsigma), 0.0)
+        eps = jnp.finfo(jnp.asarray(X1).dtype).eps
+        s1 = jnp.sum(X1 * X1, axis=-1)
+        s2 = s1 if X2 is None else jnp.sum(X2 * X2, axis=-1)
+        scale = jnp.maximum(jnp.maximum(s1[:, None], s2[None, :]), 1.0)
+        return jnp.where(d2 <= eps * scale, jnp.exp(2.0 * self.lsigma), 0.0)
 
 
 @module(static=("priors",))

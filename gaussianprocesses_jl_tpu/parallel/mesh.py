@@ -43,9 +43,57 @@ def make_mesh(axis_sizes: dict | None = None, devices=None) -> Mesh:
     return Mesh(arr, names)
 
 
+def _distributed_kwargs(coordinator_address=None, num_processes=None,
+                        process_id=None, env=None) -> dict:
+    """Resolve the jax.distributed.initialize arguments from explicit
+    values, falling back to JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID. Raises ValueError on a half-specified or malformed
+    configuration (a misconfigured pod job must fail loudly, not silently
+    degrade to single-process)."""
+    import os
+
+    env = os.environ if env is None else env
+    kwargs = {}
+    addr = coordinator_address or env.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kwargs["coordinator_address"] = addr
+    npr = (num_processes if num_processes is not None
+           else env.get("JAX_NUM_PROCESSES"))
+    if npr is not None:
+        try:
+            kwargs["num_processes"] = int(npr)
+        except (TypeError, ValueError):
+            raise ValueError(f"JAX_NUM_PROCESSES must be an int, got {npr!r}")
+    pid = (process_id if process_id is not None
+           else env.get("JAX_PROCESS_ID"))
+    if pid is not None:
+        try:
+            kwargs["process_id"] = int(pid)
+        except (TypeError, ValueError):
+            raise ValueError(f"JAX_PROCESS_ID must be an int, got {pid!r}")
+    # a coordinator address without a rank (or vice versa) is a
+    # misconfigured pod job — jax would hang or mis-join; reject up front
+    if "coordinator_address" in kwargs:
+        missing = [k for k in ("num_processes", "process_id")
+                   if k not in kwargs]
+        if missing:
+            raise ValueError(
+                "explicit JAX_COORDINATOR_ADDRESS requires "
+                + " and ".join(missing)
+                + " (set JAX_NUM_PROCESSES / JAX_PROCESS_ID)")
+        npv, pv = kwargs["num_processes"], kwargs["process_id"]
+        if npv < 1 or not (0 <= pv < npv):
+            raise ValueError(
+                f"process_id {pv} out of range for num_processes {npv}")
+    elif kwargs:
+        raise ValueError(
+            "num_processes/process_id given without a coordinator address")
+    return kwargs
+
+
 def initialize_distributed(coordinator_address: str | None = None,
                            num_processes: int | None = None,
-                           process_id: int | None = None) -> None:
+                           process_id: int | None = None) -> bool:
     """Join (or start) the multi-host JAX runtime.
 
     On Cloud TPU pods the arguments are auto-detected from the TPU
@@ -55,28 +103,32 @@ def initialize_distributed(coordinator_address: str | None = None,
     this returns, `jax.devices()` spans every chip in the job and
     make_mesh/make_pod_mesh build global meshes whose collectives ride ICI
     within a slice and DCN across slices (see module docstring). Safe to
-    call twice (the second call is a no-op)."""
-    import os
+    call twice (the second call is a no-op).
+
+    Returns True when a multi-process runtime is active. A half-specified
+    or malformed configuration raises ValueError; an explicit
+    configuration whose coordinator cannot be reached re-raises jax's
+    error (only the *unconfigured* auto-detect path may fall back to
+    single-process, with a warning)."""
+    import warnings
 
     if jax.process_count() > 1:
-        return  # already initialized
-    kwargs = {}
-    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr:
-        kwargs["coordinator_address"] = addr
-    npr = (num_processes if num_processes is not None
-           else os.environ.get("JAX_NUM_PROCESSES"))
-    if npr is not None:
-        kwargs["num_processes"] = int(npr)
-    pid = (process_id if process_id is not None
-           else os.environ.get("JAX_PROCESS_ID"))
-    if pid is not None:
-        kwargs["process_id"] = int(pid)
+        return True  # already initialized
+    kwargs = _distributed_kwargs(coordinator_address, num_processes,
+                                 process_id)
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
-        # single-process run (no coordinator reachable / already set up)
-        pass
+        if kwargs:
+            # the user configured a pod job; degrading it silently to
+            # single-process would wedge every collective at a barrier
+            raise
+        warnings.warn(
+            "jax.distributed.initialize() could not auto-detect a "
+            "multi-host environment; continuing single-process",
+            RuntimeWarning, stacklevel=2)
+        return False
+    return jax.process_count() > 1
 
 
 def make_pod_mesh(inner: dict, outer_axis: str = "chains",

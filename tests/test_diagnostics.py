@@ -60,3 +60,32 @@ def test_checkpoint_roundtrip():
     for a, b in zip(jax.tree_util.tree_leaves(state),
                     jax.tree_util.tree_leaves(restored)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_rejects_wrong_structure():
+    """A checkpoint written by a different configuration must not resume
+    silently (VERDICT r2: treedef was saved but never validated)."""
+    state = {"a": jnp.arange(3.0), "b": jnp.asarray(1.0)}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "chk.npz")
+        save_checkpoint(path, state)
+        # same leaf count, different tree structure
+        other = {"x": jnp.zeros(3), "y": jnp.zeros(())}
+        try:
+            load_checkpoint(path, other)
+            assert False, "expected ValueError for treedef mismatch"
+        except ValueError as e:
+            assert "different pytree structure" in str(e)
+        # same structure, different leaf shape
+        wrong_shape = {"a": jnp.zeros(4), "b": jnp.zeros(())}
+        try:
+            load_checkpoint(path, wrong_shape)
+            assert False, "expected ValueError for shape mismatch"
+        except ValueError as e:
+            assert "shape" in str(e)
+        # fewer expected leaves than stored
+        try:
+            load_checkpoint(path, {"a": jnp.zeros(3)})
+            assert False, "expected ValueError for leaf-count mismatch"
+        except ValueError:
+            pass

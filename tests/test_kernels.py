@@ -202,3 +202,22 @@ def test_param_names():
     assert gp.RQ(0.1, 0.2, 0.3).param_names() == ["ll", "lsigma", "lalpha"]
     names = gp.SE(jnp.zeros(2), 0.0).param_names()
     assert names == ["ll_1", "ll_2", "lsigma"]
+
+
+def test_noise_kernel_relative_tolerance():
+    """Duplicate detection must be relative to the data scale (ref
+    src/kernels/noise.jl:31-39 uses relative isapprox): duplicated points
+    with large coordinates still match; distinct points never do."""
+    k = gp.Noise(0.0)
+    big = jnp.asarray([[1e3, -2e3], [1e3, -2e3], [1e3, -2e3 + 1.0]])
+    K = np.asarray(k.gram(big))
+    assert np.allclose(K[0, 1], 1.0)  # exact duplicate at scale 1e3
+    assert np.allclose(K[0, 2], 0.0)  # 1.0 apart is not a duplicate
+    # cross-gram duplicate at large scale
+    Kx = np.asarray(k.gram(big, big[:1]))
+    assert np.allclose(Kx[:, 0], [1.0, 1.0, 0.0])
+    # near-origin points: absolute floor keeps tiny offsets distinct
+    small = jnp.asarray([[0.0, 0.0], [1e-2, 0.0]])
+    Ks = np.asarray(k.gram(small))
+    assert np.allclose(np.diag(Ks), 1.0)
+    assert np.allclose(Ks[0, 1], 0.0)

@@ -127,3 +127,54 @@ def test_ess_gpa_rejected(gpe_model):
                gp.MeanZero(), gp.SE(0.0, 0.0), gp.BernLik())
     with pytest.raises(TypeError):
         gp.ess(m, n_iter=10, verbose=False)
+
+
+def _cliff_logp(th):
+    """Gaussian with a hard -inf cliff at th[0] > 1 (the f32
+    failed-Cholesky analog: a region where the target is -inf but
+    gradients near the boundary stay finite)."""
+    good = -0.5 * jnp.sum(th * th)
+    return jnp.where(th[0] > 1.0, -jnp.inf, good)
+
+
+def test_hmc_never_absorbs_minus_inf():
+    """Mid-run -inf proposals must be rejected, never committed: the chain
+    samples the truncated Gaussian and its running target stays finite
+    (VERDICT r2 small-fidelity item)."""
+    res = hmc(_cliff_logp, jnp.asarray([0.9, 0.0]), jax.random.PRNGKey(3),
+              n_iter=1500, eps=0.4, Lmin=5, Lmax=15)
+    s = np.asarray(res.samples)
+    assert np.all(np.isfinite(s))
+    assert np.all(s[:, 0] <= 1.0)  # never entered the -inf region
+    assert np.isfinite(float(res.final_target))
+    # the chain moved (the cliff did not freeze it)
+    assert s[:, 0].std() > 0.1
+
+
+def test_hmc_recovers_from_minus_inf_start():
+    """A -inf start state (e.g. a failed f32 Cholesky at the seed) must
+    recover: the zeroed start gradient lets finite proposals be reached
+    and any finite target beats -inf."""
+    res = hmc(_cliff_logp, jnp.asarray([1.5, 0.0]), jax.random.PRNGKey(4),
+              n_iter=800, eps=0.4, Lmin=5, Lmax=15)
+    assert np.isfinite(float(res.final_target))
+    s = np.asarray(res.samples)
+    # once recovered, the chain never falls back into the -inf region
+    first_ok = np.argmax(s[:, 0] <= 1.0)
+    assert np.all(s[first_ok:, 0] <= 1.0)
+
+
+def test_sharded_hmc_never_absorbs_minus_inf():
+    from gaussianprocesses_jl_tpu.parallel.chains import sharded_hmc
+    from gaussianprocesses_jl_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"chains": 8})
+    C = 16
+    # half the chains start inside the -inf region
+    starts = jnp.stack([jnp.linspace(0.5, 1.5, C), jnp.zeros(C)], axis=1)
+    res = sharded_hmc(_cliff_logp, starts, jax.random.PRNGKey(5), mesh,
+                      n_iter=300, n_warmup=100, eps0=0.2)
+    assert np.all(np.isfinite(np.asarray(res.final_target)))
+    kept = np.asarray(res.samples)  # (C, n_keep, D)
+    assert np.all(np.isfinite(kept))
+    assert np.all(kept[..., 0] <= 1.0)
