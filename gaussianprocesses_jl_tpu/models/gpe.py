@@ -98,14 +98,24 @@ def gpe_target(params: GPEParams, X, y, covstrat=FullCovariance()):
 
 
 def gpe_predict_f(params: GPEParams, X, y, Xs, covstrat=FullCovariance(),
-                  full_cov: bool = False):
+                  full_cov: bool = False, blockindpred=None):
     """Posterior predictive of the latent f at Xs (ref predict_f,
-    src/GP.jl:64-79), batched."""
+    src/GP.jl:64-79), batched.
+
+    blockindpred: padded static (idx, mask) tuples (models.sparse
+    pad_pred_blocks) assigning test points to FSA training blocks for the
+    cross-Lambda correction (ref full_scale_approximation.jl:456-477);
+    only FullScaleApproxStrat accepts it."""
     pd = gpe_factorize(params, X, covstrat)
     r = y - params.mean.mean(X)
     alpha = pd.solve(r)
-    mu_cross, cov = covstrat.predict_mvn(pd, params.kernel, X, r, alpha, Xs,
-                                         full_cov)
+    if blockindpred is None:
+        mu_cross, cov = covstrat.predict_mvn(pd, params.kernel, X, r, alpha,
+                                             Xs, full_cov)
+    else:
+        mu_cross, cov = covstrat.predict_mvn(pd, params.kernel, X, r, alpha,
+                                             Xs, full_cov,
+                                             blockindpred=blockindpred)
     mu = params.mean.mean(Xs) + mu_cross
     return mu, cov
 
@@ -124,7 +134,8 @@ _mll_jit = jax.jit(lambda params, X, y, covstrat: gpe_mll(params, X, y, covstrat
 _target_jit = jax.jit(
     lambda params, X, y, covstrat: gpe_target(params, X, y, covstrat)[0]
 )
-_predict_f_jit = jax.jit(gpe_predict_f, static_argnames=("full_cov",))
+_predict_f_jit = jax.jit(gpe_predict_f,
+                         static_argnames=("full_cov", "blockindpred"))
 
 
 # ---------------------------------------------------------------------------
@@ -250,9 +261,25 @@ class GPE:
         return self
 
     # -- prediction --------------------------------------------------------
-    def predict_f(self, xs, full_cov: bool = False):
+    def predict_f(self, xs, full_cov: bool = False, blockindpred=None):
+        """Posterior latent predictive. For an FSA-strategy model,
+        `blockindpred` (one sequence of test-point indices per training
+        block — ref blocked predict_f, full_scale_approximation.jl:456-477)
+        turns on the cross-block Lambda_xf correction; test points left
+        unassigned are treated as their own blocks."""
+        xs = _as_X(xs)
+        if blockindpred is not None:
+            from .sparse import FullScaleApproxStrat, pad_pred_blocks
+
+            if not isinstance(self.covstrat, FullScaleApproxStrat):
+                raise TypeError(
+                    "blockindpred is only meaningful for the FSA strategy; "
+                    f"got {type(self.covstrat).__name__}")
+            blockindpred = pad_pred_blocks(
+                blockindpred, xs.shape[0], len(self.covstrat.block_idx))
         return _predict_f_jit(
-            self.params, self.x, self.y, _as_X(xs), self.covstrat, full_cov
+            self.params, self.x, self.y, xs, self.covstrat, full_cov,
+            blockindpred
         )
 
     def predict_y(self, xs, full_cov: bool = False):

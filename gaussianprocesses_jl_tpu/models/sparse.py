@@ -47,6 +47,7 @@ __all__ = [
     "FITC",
     "FSA",
     "LowRankPD",
+    "pad_pred_blocks",
 ]
 
 # ref: nugget=1e-10 in all sparse update_cK! paths (f64); scaled up for f32
@@ -384,6 +385,33 @@ def _pad_blocks(blocks, n):
     return idx, mask
 
 
+def pad_pred_blocks(blockindpred, ns, nb):
+    """Normalize per-training-block prediction-point assignments (ref
+    blockindpred, full_scale_approximation.jl:456-477) into padded static
+    tuples (idx, mask) for the jitted FSA predictive.
+
+    blockindpred: one sequence of prediction-point indices per training
+    block (len == nb). Indices must be disjoint and in range(ns); test
+    points not assigned anywhere get no cross-Lambda correction (they are
+    treated as their own blocks, the blockindpred=None semantics)."""
+    blocks = [list(b) for b in blockindpred]
+    if len(blocks) != nb:
+        raise ValueError(
+            f"blockindpred must have one entry per training block "
+            f"({nb}), got {len(blocks)}")
+    flat = [i for b in blocks for i in b]
+    if len(set(flat)) != len(flat):
+        raise ValueError("blockindpred assigns a test point twice")
+    if flat and (min(flat) < 0 or max(flat) >= ns):
+        raise ValueError("blockindpred index out of range")
+    bmax = max((len(b) for b in blocks), default=0)
+    if bmax == 0:
+        raise ValueError("blockindpred assigns no test points")
+    idx = tuple(tuple(b) + (0,) * (bmax - len(b)) for b in blocks)
+    mask = tuple((1.0,) * len(b) + (0.0,) * (bmax - len(b)) for b in blocks)
+    return idx, mask
+
+
 @module(static=("block_idx", "block_mask"))
 class FullScaleApproxStrat(Module):
     """FSA: Lambda block-diagonal with blocks
@@ -424,11 +452,18 @@ class FullScaleApproxStrat(Module):
 
     def predict_mvn(self, pd, kernel, X, r, alpha, Xs, full_cov,
                     blockindpred=None):
-        """FSA prediction (ref full_scale_approximation.jl:413-447):
+        """FSA prediction (ref full_scale_approximation.jl:413-477):
         mu = Kxu alpha_u + Lam_xf alpha,
         Sigma = Sigma_xx - (Qxf + Lam_xf) Sigma^-1 (Qxf + Lam_xf)^T.
         Without prediction blocks (blockindpred=None) Lam_xf = 0, i.e. test
-        points are treated as their own blocks."""
+        points are treated as their own blocks.
+
+        blockindpred: padded static (idx, mask) tuples from pad_pred_blocks
+        assigning test points to training blocks; the cross-residual
+        Lam_xf[i, j] = K(x*_i, x_j) - Q(x*_i, x_j) is nonzero exactly where
+        test point i shares a block with training point j. The build is one
+        batched (vmapped) per-block gram + gather + masked scatter-add —
+        no Python loop over blocks."""
         Kux = kernel.gram(self.inducing, Xs)  # (m, ns)
         mu_cross = Kux.T @ pd.alpha_u(r)
 
@@ -439,19 +474,18 @@ class FullScaleApproxStrat(Module):
 
         Lam_xf = jnp.zeros_like(Qxf)
         if blockindpred is not None:
-            idx_f = jnp.asarray(self.block_idx, dtype=int)
-            mask_f = jnp.asarray(self.block_mask)
-            for bp, bf, mf in zip(blockindpred, self.block_idx,
-                                  self.block_mask):
-                bp = list(bp)
-                if not bp:
-                    continue
-                ib = jnp.asarray(bp, dtype=int)
-                jb = jnp.asarray(bf, dtype=int)
-                K_b = kernel.gram(Xs[ib], X[jb])
-                Q_b = Qxf[jnp.ix_(ib, jb)]
-                Lam_xf = Lam_xf.at[jnp.ix_(ib, jb)].set(
-                    (K_b - Q_b) * jnp.asarray(mf)[None, :])
+            pidx_t, pmask_t = blockindpred
+            pidx = jnp.asarray(pidx_t, dtype=int)  # (nb, pmax)
+            pmask = jnp.asarray(pmask_t, dtype=Qxf.dtype)
+            fidx = jnp.asarray(self.block_idx, dtype=int)  # (nb, fmax)
+            fmask = jnp.asarray(self.block_mask, dtype=Qxf.dtype)
+            Xs_b = Xs[pidx.reshape(-1)].reshape(pidx.shape + (Xs.shape[1],))
+            X_b = X[fidx.reshape(-1)].reshape(fidx.shape + (X.shape[1],))
+            Kb = jax.vmap(kernel.gram)(Xs_b, X_b)  # (nb, pmax, fmax)
+            Qb = Qxf[pidx[:, :, None], fidx[:, None, :]]
+            w = pmask[:, :, None] * fmask[:, None, :]
+            Lam_xf = Lam_xf.at[pidx[:, :, None], fidx[:, None, :]].add(
+                (Kb - Qb) * w)
             mu_cross = mu_cross + Lam_xf @ alpha
 
         QL = Qxf + Lam_xf

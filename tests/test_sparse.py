@@ -206,3 +206,83 @@ def test_fsa_partition_validation():
     y = np.random.randn(10)
     with pytest.raises(ValueError):
         gp.FSA(x, x[:3], [[0, 1, 2]], y, kernel=gp.SE(0.0, 0.0))
+
+
+def test_fsa_blocked_prediction_vs_brute_force(setup):
+    """FSA prediction WITH per-block test-point assignments (the Lam_xf != 0
+    branch, ref full_scale_approximation.jl:413-477) through the public
+    GPE.predict_f API, against a dense QR05 construction: with
+    Sigma = Qff + Lambda and cross = Qxf + Lam_xf,
+    mu = cross Sigma^-1 y and cov = Kxx - cross Sigma^-1 cross^T."""
+    _, models = setup
+    m = models["fsa"]
+    kern = m.params.kernel
+    Xu = m.covstrat.inducing
+    X = m.x
+    y = np.asarray(m.y)
+    ns = 9
+    xs = jnp.linspace(-0.5, 2 * jnp.pi + 0.5, ns)[:, None]
+    nb = len(m.covstrat.block_idx)
+    # arbitrary assignment covering padding edge cases: ragged blocks, an
+    # empty block, and one unassigned test point (index 8)
+    blockindpred = [[] for _ in range(nb)]
+    blockindpred[0] = [0, 3]
+    blockindpred[1] = [1]
+    blockindpred[4] = [2, 5, 7]
+    blockindpred[7] = [4, 6]
+
+    mu, cov = m.predict_f(xs, full_cov=True, blockindpred=blockindpred)
+    mu_d, var = m.predict_f(xs, blockindpred=blockindpred)
+
+    # dense brute force
+    Kuu = np.asarray(kern.gram(Xu)) + 1e-10 * np.eye(M)
+    Kuf = np.asarray(kern.gram(Xu, X))
+    Kux = np.asarray(kern.gram(Xu, xs))
+    Kxx = np.asarray(kern.gram(xs))
+    Qff = Kuf.T @ np.linalg.solve(Kuu, Kuf)
+    Qxf = Kux.T @ np.linalg.solve(Kuu, Kuf)
+    Kxf = np.asarray(kern.gram(xs, X))
+    s2 = float(np.exp(2 * np.asarray(m.lognoise)))
+    Sig = Qff.copy()
+    for b in m.covstrat.block_idx:
+        ib = np.asarray(b, dtype=int)
+        Sig[np.ix_(ib, ib)] += np.asarray(kern.gram(X[ib])) - Qff[
+            np.ix_(ib, ib)]
+    Sig += s2 * np.eye(N)
+    cross = Qxf.copy()
+    for bp, bf in zip(blockindpred, m.covstrat.block_idx):
+        if not bp:
+            continue
+        ip = np.asarray(bp, dtype=int)
+        jf = np.asarray(bf, dtype=int)
+        cross[np.ix_(ip, jf)] += Kxf[np.ix_(ip, jf)] - Qxf[np.ix_(ip, jf)]
+    mu_b = cross @ np.linalg.solve(Sig, y)
+    cov_b = Kxx - cross @ np.linalg.solve(Sig, cross.T)
+
+    assert np.allclose(np.asarray(mu), mu_b, atol=1e-6)
+    assert np.allclose(np.asarray(cov), cov_b, atol=1e-5)
+    assert np.allclose(np.asarray(mu_d), mu_b, atol=1e-6)
+    assert np.allclose(np.asarray(var), np.diag(cov_b), atol=1e-5)
+    # the correction changed the unblocked prediction (branch is live)
+    mu0, _ = m.predict_f(xs)
+    assert not np.allclose(np.asarray(mu0), mu_b, atol=1e-6)
+
+
+def test_fsa_blockindpred_validation():
+    x = np.random.RandomState(0).randn(12, 1)
+    y = np.random.RandomState(1).randn(12)
+    blocks = [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
+    m = gp.FSA(x, x[:4], blocks, y, kernel=gp.SE(0.0, 0.0))
+    xs = np.linspace(-1, 1, 5)[:, None]
+    with pytest.raises(ValueError, match="one entry per training block"):
+        m.predict_f(xs, blockindpred=[[0], [1]])
+    with pytest.raises(ValueError, match="twice"):
+        m.predict_f(xs, blockindpred=[[0], [0], [1]])
+    with pytest.raises(ValueError, match="out of range"):
+        m.predict_f(xs, blockindpred=[[0], [5], [1]])
+    with pytest.raises(ValueError, match="assigns no test points"):
+        m.predict_f(xs, blockindpred=[[], [], []])
+    # non-FSA strategy rejects blockindpred
+    me = gp.GPE(x, y, kernel=gp.SE(0.0, 0.0))
+    with pytest.raises(TypeError, match="FSA"):
+        me.predict_f(xs, blockindpred=[[0], [1], [2]])
