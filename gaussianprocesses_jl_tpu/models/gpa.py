@@ -71,7 +71,20 @@ def _latent_f(params: GPAParams, X, covstrat):
 
 
 def gpa_ll(params: GPAParams, X, y, covstrat=FullCovariance()):
-    """log p(y | v, theta) (ref update_ll!, src/GPA.jl:118-128)."""
+    """log p(y | v, theta) (ref update_ll!, src/GPA.jl:118-128).
+
+    Strategies exposing a fused `latent_f(kernel, nugget, X, v) -> (f, ok)`
+    (e.g. DistributedFullCovariance, whose gradient goes through a custom
+    VJP on the sharded factorization) take that path on the sampling hot
+    loop; the aux pd is then None (prediction uses gpa_predict_f, which
+    builds the full PD)."""
+    fused = getattr(covstrat, "latent_f", None)
+    if fused is not None:
+        mu = params.mean.mean(X)
+        f, ok = fused(params.kernel, gpa_nugget(X.dtype), X, params.v)
+        f = f + mu
+        ll = jnp.sum(params.lik.log_dens(f, y))
+        return jnp.where(ok, ll, -jnp.inf), (None, mu, f)
     pd, mu, f = _latent_f(params, X, covstrat)
     ll = jnp.sum(params.lik.log_dens(f, y))
     return jnp.where(pd.ok, ll, -jnp.inf), (pd, mu, f)

@@ -55,6 +55,7 @@ __all__ = [
     "distributed_solve_upper",
     "distributed_chol_solve",
     "distributed_unwhiten",
+    "distributed_unwhiten_build",
     "distributed_quad_logdet",
     "distributed_mll",
     "identity_tiles",
@@ -387,6 +388,34 @@ def distributed_unwhiten(L_tiles, v, B: int, mesh: Mesh, axis: str = "j"):
 # ---------------------------------------------------------------------------
 
 
+def _local_winv(axis, nb, P_, L_loc):
+    """W = L^-1 restricted to this device's tile-columns, via a distributed
+    TRSM against the column-sharded identity: a row-broadcast forward
+    substitution (one (nb, B, B) psum per step — the same volume as the
+    factorization's panel broadcasts). Shared by the quad+logdet and the
+    unwhiten backward passes."""
+    me, nbl, js = _local_js(axis, nb, P_)
+    B = L_loc.shape[-1]
+    rows = jnp.arange(nb)
+    eyeB = jnp.eye(B, dtype=L_loc.dtype)
+
+    def trsm_step(W, k):
+        # assemble global row-block k of L from its per-column owners
+        rowk = jax.lax.psum(
+            jnp.zeros((nb, B, B), L_loc.dtype).at[js].set(L_loc[k]), axis)
+        Lkk = rowk[k]
+        below = (rows < k)[:, None, None]
+        contrib = jnp.einsum("mab,mlbc->lac", rowk * below, W, precision=_HIGH)
+        rhs = eyeB[None] * (js == k)[:, None, None] - contrib
+        Wk = jax.vmap(
+            lambda R: solve_triangular(Lkk, R, lower=True))(rhs)
+        return W.at[k].set(Wk), None
+
+    W0 = jnp.zeros((nb, nbl, B, B), L_loc.dtype)
+    W, _ = jax.lax.scan(trsm_step, W0, jnp.arange(nb))
+    return W
+
+
 def _local_bwd(axis, nb, P_, L_loc, w_blocks, quad_bar, logdet_bar):
     """Backward pass on the shards: build this device's tile-columns of
     K^-1 = (L^-T)(L^-1) and assemble the K-cotangent
@@ -404,24 +433,7 @@ def _local_bwd(axis, nb, P_, L_loc, w_blocks, quad_bar, logdet_bar):
          Kinv[:, local] = W^T W[:, local]."""
     me, nbl, js = _local_js(axis, nb, P_)
     B = L_loc.shape[-1]
-    rows = jnp.arange(nb)
-    eyeB = jnp.eye(B, dtype=L_loc.dtype)
-
-    # --- phase 1: W = L^-1 E_local  (W stored as tiles (nb, nbl, B, B))
-    def trsm_step(W, k):
-        # assemble global row-block k of L from its per-column owners
-        rowk = jax.lax.psum(
-            jnp.zeros((nb, B, B), L_loc.dtype).at[js].set(L_loc[k]), axis)
-        Lkk = rowk[k]
-        below = (rows < k)[:, None, None]
-        contrib = jnp.einsum("mab,mlbc->lac", rowk * below, W, precision=_HIGH)
-        rhs = eyeB[None] * (js == k)[:, None, None] - contrib
-        Wk = jax.vmap(
-            lambda R: solve_triangular(Lkk, R, lower=True))(rhs)
-        return W.at[k].set(Wk), None
-
-    W0 = jnp.zeros((nb, nbl, B, B), L_loc.dtype)
-    W, _ = jax.lax.scan(trsm_step, W0, jnp.arange(nb))
+    W = _local_winv(axis, nb, P_, L_loc)
 
     # alpha = K^-1 r = W^T w restricted to local cols, then combined
     a_local = jnp.einsum("mlab,ma->lb", W, w_blocks, precision=_HIGH)  # (nbl, B)
@@ -499,6 +511,154 @@ def _dql_bwd(B, mesh, axis, res, cots):
 
 
 distributed_quad_logdet.defvjp(_dql_fwd, _dql_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable whitened-latent map f = L v (the distributed GPA core)
+# ---------------------------------------------------------------------------
+#
+# Reverse mode through the factorization itself: with f = L(K) v,
+#
+#   v_bar = L^T f_bar
+#   K_bar = L^-T phi(L^T L_bar) L^-1,   L_bar = tril(f_bar v^T)
+#
+# (the transpose of JAX's Cholesky JVP dL = L phi(L^-1 dK L^-T), phi = tril
+# with halved diagonal — Murray 2016, arXiv:1602.07527; the reference's
+# chol_unblocked_rev! plays this role at src/chol_utils.jl:15-39). Executed
+# entirely on the shards:
+#   * M = L^T tril(f_bar v^T) exploits the masked-rank-1 structure: per
+#     local column-tile, one (nb, B) contraction T, its tile-suffix sums,
+#     and a masked within-tile term — O(n^2 B / P), no n^3 GEMM;
+#   * K_bar = W^T phi(M) W with W = L^-1 (shared _local_winv) via two ring
+#     GEMMs (ppermute neighbor exchange, the ring-attention pattern);
+#   * the result comes out row-sharded; one *local* tile transpose turns it
+#     into the column-sharded layout (valid because downstream dK/dtheta is
+#     symmetric, so feeding K_bar^T yields identical hyperparameter
+#     cotangents).
+
+
+def _local_unwhiten_bwd(axis, nb, P_, L_loc, gbar_blocks, v_blocks):
+    me, nbl, js = _local_js(axis, nb, P_)
+    B = L_loc.shape[-1]
+
+    # v_bar = L^T g_bar: local columns contract all rows, scatter + psum
+    vbar_loc = jnp.einsum("ilab,ia->lb", L_loc, gbar_blocks,
+                          precision=_HIGH)
+    vbar = jax.lax.psum(
+        jnp.zeros((nb, B), L_loc.dtype).at[js].set(vbar_loc), axis)
+
+    # W = L^-1 local columns
+    W = _local_winv(axis, nb, P_, L_loc)
+
+    # M = L^T tril(g_bar v^T), rows k local:
+    # M[(kb,a),(jb,b)] = v[jb,b] * ( sum_{ib>jb} T[kb][ib,a]
+    #                                + sum_{c>=b} L[jb,kb][c,a] g_bar[jb,c] )
+    T = jnp.einsum("ilca,ic->lia", L_loc, gbar_blocks,
+                   precision=_HIGH)  # (nbl, nb, B)
+    suf = jnp.flip(jnp.cumsum(jnp.flip(T, 1), axis=1), 1) - T  # sum_{ib>jb}
+    mask_cb = (jnp.arange(B)[:, None] >= jnp.arange(B)[None, :]
+               ).astype(L_loc.dtype)  # c >= b
+    Ppart = jnp.einsum("jlca,jc,cb->ljab", L_loc, gbar_blocks, mask_cb,
+                       precision=_HIGH)  # (nbl, nb, B, B)
+    M = (suf[..., None] + Ppart) * v_blocks[None, :, None, :]
+
+    # phi: tril with halved diagonal, over global (k, j) with k rows local
+    coltile = jnp.arange(nb)
+    full = (js[:, None] > coltile[None, :]).astype(L_loc.dtype)
+    eqt = (js[:, None] == coltile[None, :]).astype(L_loc.dtype)
+    a_ = jnp.arange(B)
+    tri = jnp.where(a_[:, None] > a_[None, :], 1.0,
+                    jnp.where(a_[:, None] == a_[None, :], 0.5, 0.0)
+                    ).astype(L_loc.dtype)
+    P2 = M * (full[:, :, None, None] + eqt[:, :, None, None] * tri[None, None])
+
+    # ring GEMM 1: A1 = phi(M) W, rows k local, all columns
+    ring = [(i, (i + 1) % P_) for i in range(P_)]
+
+    def ring1(carry, s):
+        V, A1 = carry  # V = W shard of device q = (me - s) mod P
+        q = (me - s) % P_
+        js_q = q + P_ * jnp.arange(nbl)
+        block = jnp.einsum("lmac,mqcb->lqab", P2, V,
+                           precision=_HIGH)  # (nbl, nbl, B, B)
+        A1 = A1.at[:, js_q].set(block)
+        V = jax.lax.ppermute(V, axis, ring)
+        return (V, A1), None
+
+    A10 = jnp.zeros((nbl, nb, B, B), L_loc.dtype)
+    (_, A1), _ = jax.lax.scan(ring1, (W, A10), jnp.arange(P_))
+
+    # ring GEMM 2: K_bar = W^T A1, rows k local, all columns
+    def ring2(carry, s):
+        Aq, Kb = carry  # Aq = A1 shard of device q (rows js_q, all cols)
+        q = (me - s) % P_
+        js_q = q + P_ * jnp.arange(nbl)
+        Wq = W[js_q]  # (nbl_rows_q, nbl_cols_local, B, B)
+        Kb = Kb + jnp.einsum("qlca,qjcb->ljab", Wq, Aq, precision=_HIGH)
+        Aq = jax.lax.ppermute(Aq, axis, ring)
+        return (Aq, Kb), None
+
+    Kb0 = jnp.zeros((nbl, nb, B, B), L_loc.dtype)
+    (_, Kbar_rows), _ = jax.lax.scan(ring2, (A1, Kb0), jnp.arange(P_))
+
+    # local tile transpose: row-sharded K_bar -> column-sharded K_bar^T
+    tiles_bar = jnp.transpose(Kbar_rows, (1, 0, 3, 2))
+    return tiles_bar, vbar[None]
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _run_unwhiten_bwd(L_tiles, gbar_blocks, v_blocks, mesh, axis):
+    nb = L_tiles.shape[0]
+    P_ = mesh.shape[axis]
+    fn = shard_map(
+        partial(_local_unwhiten_bwd, axis, nb, P_),
+        mesh=mesh,
+        in_specs=(P(None, axis, None, None), P(), P()),
+        out_specs=(P(None, axis, None, None), P()),
+        check_vma=False,
+    )
+    return fn(L_tiles, gbar_blocks, v_blocks)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def distributed_unwhiten_build(tiles, v, B: int, mesh: Mesh,
+                               axis: str = "j"):
+    """(f, ok) with f = L v where L L^T = K given as sharded tile-columns —
+    the whitened-latent map (ref f = m + L v, src/GPA.jl:101-109)
+    differentiated THROUGH the distributed factorization (custom VJP
+    above), so GPA targets on DistributedFullCovariance get exact
+    kernel/noise gradients. On factorization failure f falls back to v
+    (identity factor) and ok is False; callers gate on ok."""
+    L_tiles, logdet = distributed_cholesky(tiles, mesh, axis)
+    ok = jnp.isfinite(logdet)
+    eye_t = identity_tiles(tiles.shape[0], B, mesh, axis,
+                           dtype=tiles.dtype)
+    L_tiles = jnp.where(ok, L_tiles, eye_t)
+    f = distributed_unwhiten(L_tiles, v, B, mesh, axis)
+    return f, ok
+
+
+def _dub_fwd(tiles, v, B, mesh, axis):
+    L_tiles, logdet = distributed_cholesky(tiles, mesh, axis)
+    ok = jnp.isfinite(logdet)
+    eye_t = identity_tiles(tiles.shape[0], B, mesh, axis,
+                           dtype=tiles.dtype)
+    L_tiles = jnp.where(ok, L_tiles, eye_t)
+    f = distributed_unwhiten(L_tiles, v, B, mesh, axis)
+    return (f, ok), (L_tiles, v)
+
+
+def _dub_bwd(B, mesh, axis, res, cots):
+    L_tiles, v = res
+    f_bar, _ = cots  # the ok flag is boolean — no cotangent
+    nb = L_tiles.shape[0]
+    gb = jnp.asarray(f_bar, L_tiles.dtype).reshape(nb, B)
+    vb = jnp.asarray(v, L_tiles.dtype).reshape(nb, B)
+    tiles_bar, vbar = _run_unwhiten_bwd(L_tiles, gb, vb, mesh, axis)
+    return tiles_bar, vbar[0].reshape(-1)
+
+
+distributed_unwhiten_build.defvjp(_dub_fwd, _dub_bwd)
 
 
 def distributed_mll(kernel, noise_var, X, y_centered, B: int, mesh: Mesh,

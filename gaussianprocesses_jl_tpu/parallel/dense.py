@@ -29,6 +29,7 @@ from .cholesky import (
     distributed_quad_logdet,
     distributed_solve_lower,
     distributed_unwhiten,
+    distributed_unwhiten_build,
     identity_tiles,
 )
 
@@ -77,16 +78,18 @@ class DistributedFullCovariance(Module):
     B=None picks the largest valid size at build time). Requires
     n % (B * mesh.shape[axis]) == 0 — pad the data or pass an explicit B.
 
-    The GPA whitened-latent path needs reverse-mode through the
-    factorization itself (dL/dtheta), which the scan-based distributed
-    Cholesky does not expose — use the single-device FullCovariance for
-    GPA, or the chain-sharded samplers (parallel/chains.py)."""
+    Serves both GPE (fused quad_logdet with a ring-ppermute K^-1 backward)
+    and GPA: the whitened-latent map f = L v is differentiable THROUGH the
+    distributed factorization via the custom-VJP
+    `distributed_unwhiten_build` (Murray-style Cholesky reverse mode
+    executed on the shards — parallel/cholesky.py), so sharded MCMC/VI over
+    dense-GP latents composes with observation sharding."""
 
     mesh: Mesh
     axis: str = "j"
     B: int | None = None
 
-    supports_whitened_latents = False
+    supports_whitened_latents = True
 
     def _tile(self, n: int) -> int:
         if self.B is not None:
@@ -117,6 +120,15 @@ class DistributedFullCovariance(Module):
         B = self._tile(n)
         tiles = build_tiles(kernel, noise_var, X, B, self.mesh, self.axis)
         return distributed_quad_logdet(tiles, r, B, self.mesh, self.axis)
+
+    def latent_f(self, kernel, noise_var, X, v):
+        """(f, ok) with f = L v — the whitened-latent map for GPA targets,
+        differentiable w.r.t. kernel/noise hyperparameters and v (custom
+        VJP through the distributed factorization)."""
+        n = X.shape[0]
+        B = self._tile(n)
+        tiles = build_tiles(kernel, noise_var, X, B, self.mesh, self.axis)
+        return distributed_unwhiten_build(tiles, v, B, self.mesh, self.axis)
 
     def predict_mvn(self, pd: DistributedPD, kernel, X, r, alpha, Xs,
                     full_cov: bool):

@@ -223,3 +223,106 @@ def test_choose_tile_size():
     assert choose_tile_size(1024, 8, max_B=64) == 64
     with pytest.raises(ValueError):
         choose_tile_size(7, 8)
+
+
+def test_distributed_unwhiten_build_vjp_matches_single_device():
+    """Reverse mode THROUGH the sharded factorization (custom VJP with the
+    Murray chol-reverse executed on the shards) equals single-device
+    jax.grad through jnp.linalg.cholesky, for kernel hypers and v."""
+    mesh = _mesh()
+    from gaussianprocesses_jl_tpu.parallel.cholesky import (
+        distributed_unwhiten_build,
+    )
+
+    n, b = 128, 8
+    rng = np.random.RandomState(21)
+    X = jnp.asarray(rng.randn(n, 3))
+    v = jnp.asarray(rng.randn(n))
+    gw = jnp.asarray(rng.randn(n))
+    kern0 = gp.SE(0.2, 0.1) + gp.Matern(1.5, 0.0, -0.3)
+    nv = 0.3
+
+    def loss_dist(kern, vv):
+        tiles = build_tiles(kern, jnp.asarray(nv), X, b, mesh)
+        f, ok = distributed_unwhiten_build(tiles, vv, b, mesh)
+        return jnp.sum(gw * jnp.sin(f))
+
+    def loss_ref(kern, vv):
+        K = kern.gram(X) + nv * jnp.eye(n)
+        return jnp.sum(gw * jnp.sin(jnp.linalg.cholesky(K) @ vv))
+
+    assert np.allclose(float(loss_dist(kern0, v)), float(loss_ref(kern0, v)),
+                       rtol=1e-12)
+    gk_r, gv_r = jax.grad(loss_ref, argnums=(0, 1))(kern0, v)
+    gk_d, gv_d = jax.grad(loss_dist, argnums=(0, 1))(kern0, v)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gk_r),
+                     jax.tree_util.tree_leaves(gk_d)):
+        assert np.allclose(np.asarray(a), np.asarray(b_), rtol=1e-8,
+                           atol=1e-10)
+    assert np.allclose(np.asarray(gv_d), np.asarray(gv_r), rtol=1e-8)
+
+
+@pytest.mark.parametrize("likname", ["bern", "pois"])
+def test_gpa_distributed_target_and_grad(likname):
+    """The round-3 acceptance test (VERDICT item 6): GPA value+grad on
+    DistributedFullCovariance matches FullCovariance to rtol 1e-6."""
+    from gaussianprocesses_jl_tpu.models.gpa import gpa_target
+
+    mesh = _mesh()
+    n = 128
+    rng = np.random.RandomState(31)
+    X = jnp.asarray(rng.randn(n, 2))
+    f_true = np.sin(np.asarray(X[:, 0]))
+    if likname == "bern":
+        y = jnp.asarray((f_true + 0.3 * rng.randn(n) > 0).astype(float))
+        lik = gp.BernLik()
+    else:
+        y = jnp.asarray(rng.poisson(np.exp(0.5 * f_true)).astype(float))
+        lik = gp.PoisLik()
+    kern = gp.Matern(1.5, jnp.zeros(2), 0.1)
+    m_ref = gp.GPA(X, y, gp.MeanConst(beta=jnp.asarray(0.1)), kern, lik)
+    dist = gp.DistributedFullCovariance(mesh=mesh, B=8)
+    m_dist = gp.GPA(X, y, gp.MeanConst(beta=jnp.asarray(0.1)), kern, lik,
+                    covstrat=dist)
+    rng2 = np.random.RandomState(32)
+    v = jnp.asarray(0.3 * rng2.randn(n))
+    for m in (m_ref, m_dist):
+        m.params = m.params.with_flat_params(
+            m.params.flat_params().at[:n].set(v))
+
+    def tgt(m):
+        params, cs = m.params, m.covstrat
+        return jax.value_and_grad(
+            lambda vec: gpa_target(params.with_flat_params(vec), m.x, m.y,
+                                   cs)[0])(params.flat_params())
+
+    t_ref, g_ref = tgt(m_ref)
+    t_dist, g_dist = tgt(m_dist)
+    assert np.allclose(float(t_dist), float(t_ref), rtol=1e-10)
+    scale = float(np.abs(np.asarray(g_ref)).max())
+    assert np.allclose(np.asarray(g_dist), np.asarray(g_ref), rtol=1e-6,
+                       atol=1e-9 * scale)
+    # prediction path (build + solve + predict_mvn on the shards)
+    Xs = jnp.asarray(np.random.RandomState(33).randn(8, 2))
+    mu_r, var_r = m_ref.predict_f(Xs)
+    mu_d, var_d = m_dist.predict_f(Xs)
+    assert np.allclose(np.asarray(mu_d), np.asarray(mu_r), atol=1e-8)
+    assert np.allclose(np.asarray(var_d), np.asarray(var_r), atol=1e-8)
+
+
+def test_gpa_distributed_hmc_smoke():
+    """A few HMC iterations on the distributed GPA target run and stay
+    finite (the sharded-latents + sharded-K composition)."""
+    from gaussianprocesses_jl_tpu.inference.hmc import hmc
+
+    mesh = _mesh()
+    n = 64
+    rng = np.random.RandomState(41)
+    X = jnp.asarray(rng.randn(n, 2))
+    y = jnp.asarray((np.sin(np.asarray(X[:, 0])) > 0).astype(float))
+    m = gp.GPA(X, y, gp.MeanZero(), gp.Matern(1.5, 0.0, 0.0), gp.BernLik(),
+               covstrat=gp.DistributedFullCovariance(mesh=mesh, B=8))
+    logprob, x0, _, _ = m.make_logprob()
+    res = hmc(logprob, x0, jax.random.PRNGKey(0), n_iter=15, eps=0.02)
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+    assert np.isfinite(float(res.final_target))
