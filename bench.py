@@ -20,12 +20,14 @@ JSON line:
     effective samples per wall second on one chip.
 
 Flags:
-  --full      also run the whole kernel table from BASELINE.md (stderr)
-  --kernels   per-kernel micro suite mirroring ref perf/kernels.jl: gram
-              build and mll+gradient timings at (n=100,d=10) and
-              (n=3000,d=10); writes perf_kernels.json
-  --fitc100k  config #4 demo: sharded-FITC mll value+grad at N=100k on the
-              chip (wall time per step)
+  --full             also run the whole kernel table from BASELINE.md
+  --kernels          per-kernel micro suite mirroring ref perf/kernels.jl:
+                     gram build and mll+gradient timings at (n=100,d=10)
+                     and (n=3000,d=10); writes perf_kernels.json
+  --fitc100k         config #4: sharded-FITC mll+grad+Adam steps at N=100k
+                     on the chip (wall time per step, decreasing losses)
+  --chains-scaling   GPA ESS/sec/chip vs vmapped chain count
+                     (16/64/256/1024); writes gpa_chains_scaling.json
 """
 import json
 import os
@@ -42,6 +44,23 @@ import numpy as np
 # compiled executable identical (it is a runtime argument) while making
 # the argument values unique to this process.
 _SALT = float(np.frombuffer(os.urandom(4), dtype=np.uint32)[0]) / 2.0**32
+
+
+def _sync(out) -> float:
+    """Force completion of `out` through the remote-TPU tunnel.
+
+    `jax.block_until_ready` alone can return before the remote compute
+    finishes (root-caused r3: an isolated bench_cholesky process with no
+    host readback timed pure dispatch latency — 0.03 "ms" per 22 ms
+    factorization; one scalar readback makes every subsequent wait real).
+    Every timed region must end with a host readback, not just
+    block_until_ready. Returns the scalar it read so callers can also use
+    the value."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
 
 
 REF_MS = {  # BASELINE.md published times (ms)
@@ -118,12 +137,12 @@ def bench_one(name, kern, X, y, n_trials=5, reps=20):
     # each trial perturbs the input: the remote-TPU tunnel can cache
     # identical (executable, args) executions
     out = many(vec, jnp.zeros((), X.dtype))  # compile + warmup
-    jax.block_until_ready(out)
+    _sync(out)
     best = np.inf
     for t in range(n_trials):
         t0 = time.perf_counter()
         out = many(vec, jnp.asarray(1e-7 * (t + 1 + _SALT), X.dtype))
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / reps)
     return best * 1e3, float(out[1])
 
@@ -147,12 +166,12 @@ def bench_gram_one(kern, X, n_trials=5, reps=20):
         return acc
 
     out = many(vec, jnp.zeros((), X.dtype))
-    jax.block_until_ready(out)
+    _sync(out)
     best = np.inf
     for t in range(n_trials):
         t0 = time.perf_counter()
         out = many(vec, jnp.asarray(1e-7 * (t + 1 + _SALT), X.dtype))
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / reps)
     return best * 1e3
 
@@ -193,12 +212,12 @@ def bench_cholesky(n=10000, reps=8, n_trials=4):
             return acc
 
         out = many_chol(K, jnp.float32(0.0))
-        jax.block_until_ready(out)
+        _sync(out)
         best = np.inf
         for t in range(n_trials):
             t0 = time.perf_counter()
             out = many_chol(K, jnp.float32(1e-4 * (t + 1 + _SALT)))
-            jax.block_until_ready(out)
+            _sync(out)
             best = min(best, (time.perf_counter() - t0) / reps)
         return best
 
@@ -220,12 +239,12 @@ def bench_cholesky(n=10000, reps=8, n_trials=4):
         return C[0, 0]
 
     out = many_mm(A, jnp.float32(0.0))
-    jax.block_until_ready(out)
+    _sync(out)
     best_mm = np.inf
     for t in range(n_trials):
         t0 = time.perf_counter()
         out = many_mm(A, jnp.float32(1e-6 * (t + 1 + _SALT)))
-        jax.block_until_ready(out)
+        _sync(out)
         best_mm = min(best_mm, (time.perf_counter() - t0) / reps)
     gemm_tflops = (2.0 * m**3) / best_mm / 1e12
 
@@ -241,7 +260,7 @@ def bench_cholesky(n=10000, reps=8, n_trials=4):
     }
 
 
-def bench_gpa_ess(n=200, d=5, chains=16, n_iter=600, warmup=100,
+def bench_gpa_ess(n=200, d=5, chains=256, n_iter=600, warmup=100,
                   eps=0.05):
     # eps picked by on-chip sweep: 0.02 -> accept .96, med 16 eff/s;
     # 0.05 -> accept .72, med 40 eff/s; 0.08 diverges (stuck chains).
@@ -282,10 +301,10 @@ def bench_gpa_ess(n=200, d=5, chains=16, n_iter=600, warmup=100,
     run = jax.vmap(lambda th, k: hmc(logprob, th, k, n_iter=n_iter,
                                      eps=eps, Lmin=5, Lmax=15))
     res = run(starts, keys)  # compile + warmup run
-    jax.block_until_ready(res.samples)
+    _sync(res.final_target)
     t0 = time.perf_counter()
     res = run(starts, jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys))
-    jax.block_until_ready(res.samples)
+    _sync(res.final_target)
     wall = time.perf_counter() - t0
 
     post = res.samples[:, warmup:, :]  # (C, n_kept, D)
@@ -303,6 +322,24 @@ def bench_gpa_ess(n=200, d=5, chains=16, n_iter=600, warmup=100,
         "ess_per_sec_median": round(float(np.median(ess)) / wall, 1),
         "iters_per_sec_per_chain": round(n_iter / wall, 1),
     }
+
+
+def bench_gpa_chains_scaling(chain_counts=(16, 64, 256, 1024)):
+    """Chain-count scaling curve for the GPA classification sampler on one
+    chip (VERDICT r3 item 2): how ESS/sec/chip grows as vmapped chains
+    amortize per-iteration overhead. Writes gpa_chains_scaling.json."""
+    table = {}
+    for c in chain_counts:
+        r = bench_gpa_ess(chains=c)
+        table[str(c)] = r
+        print(f"# chains={c:5d}: {r['ess_per_sec_median']:8.1f} median "
+              f"eff/s/chip ({r['ess_per_sec_min']} min), wall "
+              f"{r['wall_s']} s, accept={r['accept_rate']}",
+              file=sys.stderr)
+    with open("gpa_chains_scaling.json", "w") as f:
+        json.dump(table, f, indent=1)
+    print("# wrote gpa_chains_scaling.json", file=sys.stderr)
+    return table
 
 
 def bench_kernel_micro():
@@ -334,13 +371,22 @@ def bench_kernel_micro():
     return table
 
 
-def bench_fitc100k(N=100_000, m=512, d=4, steps=3):
-    """Config #4 demo: FITC mll value+gradient at N=100k on the chip (the
-    observation-sharded path on a 1-device mesh — the same shard_map code
-    that scales over ICI), plus a few optimizer steps. Reports per-step
-    wall time."""
+def bench_fitc100k(N=100_000, m=512, d=4, steps=6):
+    """Config #4: FITC mll value+gradient+Adam-update steps at N=100k on
+    the chip (the observation-sharded path on a 1-device mesh — the same
+    shard_map code that scales over ICI). Reports per-step wall time and
+    the (decreasing) loss trace.
+
+    The r02 version used a raw SGD step p - 1e-3 g; with a sum-over-N
+    objective max|grad| ~ 1e5 at N=100k, so the first update moved
+    log-hyperparameters by ~100 -> exp overflow -> -inf forever (the -inf
+    target zeroes all gradients). Now: Adam on the log-params (bounded
+    per-coordinate step) plus a reject-don't-commit guard — a step whose
+    loss comes back non-finite rolls back to the last good params instead
+    of freezing the run."""
     import jax
     import jax.numpy as jnp
+    import optax
 
     import gaussianprocesses_jl_tpu as gp
     from gaussianprocesses_jl_tpu.parallel.fitc import (
@@ -361,25 +407,39 @@ def bench_fitc100k(N=100_000, m=512, d=4, steps=3):
     Xs, ys = shard_data(jnp.asarray(X), jnp.asarray(y), mesh)
     Xu_j = fitc.covstrat.inducing
 
+    opt = optax.adam(0.05)
+
     @jax.jit
-    def step(params):
+    def step(params, last_good, opt_state):
         loss, grads = jax.value_and_grad(
             lambda p: -mll_fn(p, Xs, ys, Xu_j))(params)
-        new = jax.tree_util.tree_map(lambda p, g: p - 1e-3 * g,
-                                     params, grads)
-        return loss, new
+        gleaves = jax.tree_util.tree_leaves(grads)
+        ok = jnp.isfinite(loss)
+        for g in gleaves:
+            ok = ok & jnp.all(jnp.isfinite(g))
+        # reject-don't-commit: from a bad point, roll back instead of
+        # stepping (a -inf target's where()-gradient is all zeros, which
+        # would otherwise freeze the run at -inf permanently)
+        base = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), params, last_good)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, opt_state = opt.update(grads, opt_state, base)
+        new_params = optax.apply_updates(base, updates)
+        return loss, new_params, base, opt_state
 
     params = fitc.params
-    loss, params = step(params)  # compile
-    jax.block_until_ready(loss)
+    opt_state = opt.init(params)
+    loss, params, last_good, opt_state = step(params, params, opt_state)
+    losses = [_sync(loss)]  # compile + warmup (one committed step)
     t0 = time.perf_counter()
-    losses = []
     for _ in range(steps):
-        loss, params = step(params)
-        losses.append(float(loss))
-    jax.block_until_ready(loss)
+        loss, params, last_good, opt_state = step(params, last_good,
+                                                  opt_state)
+        losses.append(float(loss))  # per-step readback: real step timing
     wall = (time.perf_counter() - t0) / steps
     assert all(np.isfinite(losses)), f"non-finite FITC loss: {losses}"
+    assert losses[-1] < losses[0], f"FITC loss not decreasing: {losses}"
     return {
         "N": N,
         "m": m,
@@ -392,6 +452,7 @@ def main():
     full = "--full" in sys.argv
     micro = "--kernels" in sys.argv
     fitc = "--fitc100k" in sys.argv
+    scaling = "--chains-scaling" in sys.argv
     import os
 
     import jax.numpy as jnp
@@ -400,6 +461,9 @@ def main():
 
     if micro:
         bench_kernel_micro()
+        return
+    if scaling:
+        bench_gpa_chains_scaling()
         return
     if fitc:
         out = bench_fitc100k()
@@ -457,10 +521,25 @@ def main():
 
     # estimated fresh cost of each sub-bench (compile-dominated), used to
     # decide whether it fits the remaining budget
-    est_s = {"cholesky_n10k": 150, "fitc_100k": 100,
-             "gpa_classification_ess": 260}
+    est_s = {"cholesky_n10k": 150, "fitc_100k": 120,
+             "gpa_classification_ess": 300}
+
+    # STALEST-FIRST ordering (VERDICT r2: a fixed order + tight budget let
+    # the last metric go stale forever). Every fresh measurement is stamped
+    # with a monotone "seq"; cached/missing entries sort first, then
+    # ascending seq, so each driver run refreshes the longest-unmeasured
+    # metric before spending budget on recently-measured ones.
+    def seq_of(key):
+        v = prev.get(key)
+        if not isinstance(v, dict) or v.get("cached"):
+            return -1
+        return v.get("seq", 0)
+
+    order = sorted(est_s, key=seq_of)
+    next_seq = max([seq_of(k) for k in est_s], default=0) + 1
 
     def run_budgeted(key, fn, report):
+        nonlocal next_seq
         if left() < est_s[key]:
             print(f"# {key}: skipped (budget), using cached values",
                   file=sys.stderr)
@@ -471,26 +550,33 @@ def main():
             print(f"# {key}: FAILED ({e!r}), using cached values",
                   file=sys.stderr)
             return cached(key)
+        out["seq"] = next_seq
+        next_seq += 1
         report(out)
         return out
 
-    chol = run_budgeted(
-        "cholesky_n10k", bench_cholesky,
-        lambda c: print(
+    runners = {
+        "cholesky_n10k": (bench_cholesky, lambda c: print(
             f"# cholesky n={c['n']}: {c['ms']} ms = {c['tflops']} "
             f"TFLOP/s ({100 * c['frac_gemm_peak']:.1f}% of measured "
             f"{c['gemm_peak_tflops']} TFLOP/s GEMM peak; xla "
-            f"{c['xla_ms']} ms)", file=sys.stderr))
-    fitc = run_budgeted(
-        "fitc_100k", bench_fitc100k,
-        lambda f_: print(f"# fitc N=100k: {f_['step_ms']} ms per "
-                         f"mll+grad+update step", file=sys.stderr))
-    gpa = run_budgeted(
-        "gpa_classification_ess", bench_gpa_ess,
-        lambda g: print(
-            f"# gpa classification: {g['ess_per_sec_min']} (min) / "
+            f"{c['xla_ms']} ms)", file=sys.stderr)),
+        "fitc_100k": (bench_fitc100k, lambda f_: print(
+            f"# fitc N=100k: {f_['step_ms']} ms per mll+grad+Adam step, "
+            f"losses {f_['losses'][0]} -> {f_['losses'][-1]}",
+            file=sys.stderr)),
+        "gpa_classification_ess": (bench_gpa_ess, lambda g: print(
+            f"# gpa classification ({g['chains']} chains): "
+            f"{g['ess_per_sec_min']} (min) / "
             f"{g['ess_per_sec_median']} (median) eff samples/sec/chip, "
-            f"accept={g['accept_rate']}", file=sys.stderr))
+            f"accept={g['accept_rate']}", file=sys.stderr)),
+    }
+    results = {}
+    for key in order:
+        results[key] = run_budgeted(key, *runners[key])
+    chol = results["cholesky_n10k"]
+    fitc = results["fitc_100k"]
+    gpa = results["gpa_classification_ess"]
 
     ms = rows["se"]
     result = {
@@ -502,6 +588,17 @@ def main():
         "gpa_classification_ess": gpa,
         "fitc_100k": fitc,
     }
+    # chain-count scaling table (measured by --chains-scaling; committed
+    # artifact — too expensive to refresh inside the driver budget)
+    try:
+        with open("gpa_chains_scaling.json") as f:
+            cs = json.load(f)
+        result["chains_scaling"] = {
+            k: {"ess_per_sec_median": v["ess_per_sec_median"],
+                "ess_per_sec_min": v["ess_per_sec_min"],
+                "wall_s": v["wall_s"]} for k, v in cs.items()}
+    except (OSError, ValueError):
+        pass
     if full:
         result["kernel_table_ms"] = {k: round(v, 3)
                                      for k, v in rows.items()}

@@ -63,7 +63,7 @@ def safe_cholesky(K: jnp.ndarray):
     `ok` (the reference's numerical-failure rejection pattern).
 
     Large f32 factorizations on TPU route through `blocked_cholesky`
-    (measured 1.26x over XLA's kernel at n=10240 — see perf/README.md)."""
+    (measured 1.25x over XLA's kernel at n=10000 — see perf/README.md)."""
     L = _chol(K)
     ok = jnp.all(jnp.isfinite(L))
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
@@ -96,16 +96,20 @@ def chol_logdet(L: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 #
 # XLA's cholesky on TPU serializes over ~n/128 panel factorizations; at
-# n=10240/f32 it reaches 12.6 TFLOP/s against a measured 34 TFLOP/s GEMM
+# n=10000/f32 it reaches 12.4 TFLOP/s against a measured ~35 TFLOP/s GEMM
 # ceiling. A left-looking blocked reformulation keeps the same panel
-# latency chain but (a) uses 1024-wide panels so only n/1024 sequential
+# latency chain but (a) uses wide panels so only n/block sequential
 # units remain, (b) turns every cross-panel update into one large GEMM,
 # and (c) replaces the panel TRSM with a GEMM against the panel inverse
-# (tri_inv_lower). Measured at n=10240 f32 on TPU v5e: 22.5 ms /
-# 15.9 TFLOP/s (HIGH cross-panel GEMMs) vs 28.4 ms / 12.6 TFLOP/s for
-# jnp.linalg.cholesky, with identical max |dL| = 2.3e-5. A fused Pallas
-# panel kernel was built and measured slower (0.6 ms/launch overhead);
-# the full study is perf/pallas_cholesky_study.py + perf/README.md.
+# (tri_inv_lower). Measured FRESH at n=10000 f32 on TPU v5e (r3, with the
+# true-size trailing panel and forced-readback timing): 21.4 ms /
+# 15.6 TFLOP/s at block=512 vs 26.8 ms / 12.4 TFLOP/s for
+# jnp.linalg.cholesky — 1.25x, 44% of the measured GEMM peak. The r3
+# block sweep at n=10000: 512 -> 15.6, 640 -> 15.3, 1024 -> 14.2,
+# 2048 -> 13.0 TFLOP/s (wider panels push more FLOPs into the serial
+# HIGHEST-precision panel GEMMs). A fused Pallas panel kernel was built
+# and measured slower (0.6 ms/launch overhead); the full study is
+# perf/pallas_cholesky_study.py + perf/README.md.
 
 # cross-panel GEMM precision: HIGH = 3-pass bf16, which measured the same
 # factor error as 6-pass at n=10240 (the panel factorizations and solves
@@ -114,7 +118,7 @@ _BLOCKED_CHOL_PRECISION = jax.lax.Precision.HIGH
 _BLOCKED_CHOL_MIN_N = 8192  # measured crossover vs XLA's kernel
 
 
-def blocked_cholesky(K: jnp.ndarray, block: int = 1024,
+def blocked_cholesky(K: jnp.ndarray, block: int = 512,
                      precision=None) -> tuple:
     """Left-looking blocked Cholesky with fused log-det: (L, logdet).
 
@@ -122,7 +126,12 @@ def blocked_cholesky(K: jnp.ndarray, block: int = 1024,
     MXU-built triangular inverse; all cross-panel work is GEMMs at
     `precision` (default HIGH — see _BLOCKED_CHOL_PRECISION). Equals the
     XLA factorization to rounding; NaNs propagate on indefinite input
-    (gate with safe_cholesky)."""
+    (gate with safe_cholesky).
+
+    When n is not a multiple of `block`, the trailing panel is factorized
+    at its TRUE size instead of padding to the next block multiple —
+    padding 10000 -> 10240 cost ~7% wasted FLOPs plus pad assembly on the
+    shipped n=10k benchmark shape (VERDICT r2)."""
     precision = _BLOCKED_CHOL_PRECISION if precision is None else precision
     n = K.shape[-1]
     B = block
@@ -130,38 +139,36 @@ def blocked_cholesky(K: jnp.ndarray, block: int = 1024,
         L = jnp.linalg.cholesky(K)
         return L, chol_logdet(L)
     nb = -(-n // B)
-    npad = nb * B
-    if npad != n:
-        # identity tail: PSD, factor = identity, contributes 0 to logdet
-        A = jnp.zeros((npad, npad), K.dtype)
-        A = A.at[:n, :n].set(K)
-        A = A.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
-    else:
-        A = K
+    # panel widths: nb-1 full blocks + a true-size remainder (== B if exact)
+    sizes = [B] * (nb - 1) + [n - (nb - 1) * B]
     cols = []
     for k in range(nb):
-        Acol = A[k * B:, k * B:(k + 1) * B]
+        bk = sizes[k]
+        off = k * B
+        Acol = K[off:, off:off + bk]
         if k > 0:
             # subtract the contribution of every finished panel in ONE
-            # GEMM: A[kB:, kB:(k+1)B] -= L[kB:, :kB] L[kB:(k+1)B, :kB]^T
+            # GEMM: A[off:, off:off+bk] -= L[off:, :off] L[off:off+bk, :off]^T
             P = jnp.concatenate(
                 [cols[j][(k - j) * B:, :] for j in range(k)], axis=1)
-            Acol = Acol - jnp.matmul(P, P[:B, :].T, precision=precision)
-        lkk = jnp.linalg.cholesky(Acol[:B, :B])
+            Acol = Acol - jnp.matmul(P, P[:bk, :].T, precision=precision)
+        lkk = jnp.linalg.cholesky(Acol[:bk, :bk])
         if k + 1 < nb:
             linvT = tri_inv_lower(lkk).T
-            Lpan = jnp.matmul(Acol[B:, :], linvT, precision=_HIGH)
+            Lpan = jnp.matmul(Acol[bk:, :], linvT, precision=_HIGH)
             cols.append(jnp.concatenate([jnp.tril(lkk), Lpan], axis=0))
         else:
             cols.append(jnp.tril(lkk))
     rows = []
     for i in range(nb):
-        parts = [cols[j][(i - j) * B:(i - j + 1) * B, :]
+        bi = sizes[i]
+        parts = [cols[j][(i - j) * B:(i - j) * B + bi, :]
                  for j in range(i + 1)]
-        if i + 1 < nb:
-            parts.append(jnp.zeros((B, (nb - 1 - i) * B), K.dtype))
+        pad = n - (i * B + bi)
+        if pad:
+            parts.append(jnp.zeros((bi, pad), K.dtype))
         rows.append(jnp.concatenate(parts, axis=1))
-    L = jnp.concatenate(rows, axis=0)[:n, :n]
+    L = jnp.concatenate(rows, axis=0)
     return L, chol_logdet(L)
 
 
