@@ -432,6 +432,12 @@ def bench_fitc100k(N=100_000, m=512, d=4, steps=6):
     opt_state = opt.init(params)
     loss, params, last_good, opt_state = step(params, params, opt_state)
     losses = [_sync(loss)]  # compile + warmup (one committed step)
+    # second warmup in loop form: the first loop call retraces (the
+    # freshly-init'ed opt_state and aliased params/last_good differ in
+    # weak types from the step outputs — measured 15.8 s retrace vs 77 ms
+    # steady state)
+    loss, params, last_good, opt_state = step(params, last_good, opt_state)
+    losses.append(_sync(loss))
     t0 = time.perf_counter()
     for _ in range(steps):
         loss, params, last_good, opt_state = step(params, last_good,

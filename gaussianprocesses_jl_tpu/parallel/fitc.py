@@ -5,13 +5,19 @@ The n-axis (observations) is sharded over the 'data' mesh axis; each device
 holds X_loc, y_loc and computes its m x n_loc cross-covariance panel and
 diagonal residuals locally. Global quantities are formed with collectives:
 
-  * SigmaQR's Cholesky factor via **TSQR**: every device QRs its local
-    whitened panel [Lam_loc^-1/2 Kfu_loc] -> R_loc (m x m), the R_locs are
-    all-gathered (m is small, so this rides ICI cheaply), and the stacked
-    [R_1; ...; R_P; Luu^T] is QR'd redundantly on every device — a
-    communication-optimal tall-skinny QR instead of psum-ing normal
-    equations.
-  * log-det and quadratic-form pieces reduce with psum.
+  * SigmaQR's Cholesky factor via **augmented TSQR**: every device QRs its
+    local whitened panel [Lam_loc^-1/2 Kfu_loc | Lam_loc^-1/2 r_loc]
+    -> R_loc ((m+1) x (m+1)), the R_locs are all-gathered (m is small, so
+    this rides ICI cheaply), and the stacked [R_1; ...; R_P; Luu^T 0] is
+    QR'd redundantly on every device — a communication-optimal
+    tall-skinny QR instead of psum-ing normal equations. The appended
+    residual column makes the quadratic form a BY-PRODUCT of the QR:
+    quad = r^T Sigma^-1 r = R_aug[m, m]^2, nonnegative by construction.
+    (The r2 version solved t = R^-T Kuf Lam^-1 r and used
+    quad = |w|^2 - |t|^2, which loses the projector guarantee |t| <= |w|:
+    at N=100k f32 it produced quad = -1.3e4 -> -inf mll. QR05 quad
+    identity; augmented-column residual trick is standard TSQR practice.)
+  * log-det pieces reduce with psum.
 
 Gradients: `jax.grad` differentiates straight through the shard_map and
 collectives, so the distributed mll is also the distributed
@@ -64,31 +70,30 @@ def fitc_mll_sharded_fn(kernel_template, mesh: Mesh, axis: str = "data"):
         # whole sum collapses Lambda to ~0, exploding w = r/sqrt(d)
         d = noise_var + jnp.maximum(kern.diag(X_loc) - qdiag, 0.0)
 
-        W = Kuf.T / jnp.sqrt(d)[:, None]  # (n_loc, m)
-        R_loc = jnp.linalg.qr(W, mode="r")  # (m, m)
-        # all-gather the small R factors; stack with Luu^T; redundant QR
-        R_all = jax.lax.all_gather(R_loc, axis)  # (P, m, m)
-        A = jnp.concatenate(
-            [R_all.reshape(-1, m), Luu.T], axis=0)
-        R = jnp.linalg.qr(A, mode="r")
-        s = jnp.sign(jnp.diagonal(R))
-        s = jnp.where(s == 0, 1.0, s)
-        R = s[:, None] * R
-
         r = y_loc - params.mean.mean(X_loc)
         w = r / jnp.sqrt(d)
-        u_loc = W.T @ w  # (m,)
-        u = jax.lax.psum(u_loc, axis)
-        t = solve_lower(R.T, u)
+        W = Kuf.T / jnp.sqrt(d)[:, None]  # (n_loc, m)
+        # augmented TSQR: the whitened residual rides along as column m+1,
+        # so quad = r^T Sigma^-1 r = |w|^2 - |Qw^T w|^2 = R_aug[m, m]^2
+        # falls out of the QR itself (backward stable, >= 0 always)
+        Aw = jnp.concatenate([W, w[:, None]], axis=1)  # (n_loc, m+1)
+        R_loc = jnp.linalg.qr(Aw, mode="r")  # (m+1, m+1)
+        # all-gather the small R factors; stack with [Luu^T 0]; redundant QR
+        R_all = jax.lax.all_gather(R_loc, axis)  # (P, m+1, m+1)
+        bottom = jnp.concatenate(
+            [Luu.T, jnp.zeros((m, 1), dtype=Luu.dtype)], axis=1)
+        A = jnp.concatenate([R_all.reshape(-1, m + 1), bottom], axis=0)
+        R_aug = jnp.linalg.qr(A, mode="r")  # (m+1, m+1)
+        Rdiag = jnp.abs(jnp.diagonal(R_aug)[:m])
 
-        quad = jax.lax.psum(jnp.sum(w * w), axis) - jnp.sum(t * t)
-        logdet = (2.0 * jnp.sum(jnp.log(jnp.diagonal(R)))
+        quad = R_aug[m, m] ** 2
+        logdet = (2.0 * jnp.sum(jnp.log(Rdiag))
                   - chol_logdet(Luu)
                   + jax.lax.psum(jnp.sum(jnp.log(d)), axis))
         n_total = jax.lax.psum(jnp.asarray(y_loc.shape[0], y_loc.dtype),
                                axis)
         mll = -0.5 * (quad + logdet + n_total * _LOG_2PI)
-        ok = ok_uu & jnp.all(jnp.isfinite(R)) & (quad >= 0)
+        ok = ok_uu & jnp.all(jnp.isfinite(R_aug)) & jnp.all(Rdiag > 0)
         return jnp.where(ok, mll, -jnp.inf)[None]
 
     def mll_fn(params, X, y, Xu):
