@@ -298,29 +298,52 @@ def bench_gpa_ess(n=200, d=5, chains=256, n_iter=600, warmup=100,
     starts = x0[None, :] + 0.01 * jax.vmap(
         lambda k: jax.random.normal(k, x0.shape, dtype=x0.dtype))(keys)
 
-    run = jax.vmap(lambda th, k: hmc(logprob, th, k, n_iter=n_iter,
+    # SEGMENTED execution: a single 600-iteration scan at 256+ chains is
+    # a ~150 s device execution, which crashes/restarts the remote TPU
+    # worker (observed r3; <~40 s executions run fine). Split the chain
+    # into fixed-size jitted segments, threading (state, fresh keys)
+    # between them. Measured sec/iter ~= chains/1000 on this config.
+    seg = max(25, min(n_iter, int(40_000 / max(chains, 1))))
+    n_seg = -(-n_iter // seg)
+    total_iters = n_seg * seg
+
+    run = jax.vmap(lambda th, k: hmc(logprob, th, k, n_iter=seg,
                                      eps=eps, Lmin=5, Lmax=15))
-    res = run(starts, keys)  # compile + warmup run
-    _sync(res.final_target)
+
+    def run_segmented(salt):
+        chunks, accs = [], []
+        th = starts
+        for s in range(n_seg):
+            ks = jax.vmap(
+                lambda k: jax.random.fold_in(k, 7919 * salt + s))(keys)
+            res = run(th, ks)
+            _sync(res.final_target)
+            chunks.append(res.samples)  # (C, seg, D)
+            accs.append(float(np.mean(np.asarray(res.accept_rate))))
+            th = res.final
+        return jnp.concatenate(chunks, axis=1), float(np.mean(accs))
+
+    res0 = run(starts, keys)  # compile + warmup (one segment)
+    _sync(res0.final_target)
     t0 = time.perf_counter()
-    res = run(starts, jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys))
-    _sync(res.final_target)
+    samples, acc = run_segmented(salt=1)
     wall = time.perf_counter() - t0
 
-    post = res.samples[:, warmup:, :]  # (C, n_kept, D)
+    post = samples[:, warmup:, :]  # (C, n_kept, D)
     ess = np.asarray(effective_sample_size(post))
     return {
         "n_obs": n,
         "dim_theta": int(D),
         "chains": chains,
-        "iters_post_warmup": int(n_iter - warmup),
+        "iters_post_warmup": int(total_iters - warmup),
+        "segments": int(n_seg),
         "wall_s": round(wall, 3),
-        "accept_rate": round(float(np.mean(np.asarray(res.accept_rate))), 3),
+        "accept_rate": round(acc, 3),
         "ess_min": round(float(ess.min()), 1),
         "ess_median": round(float(np.median(ess)), 1),
         "ess_per_sec_min": round(float(ess.min()) / wall, 1),
         "ess_per_sec_median": round(float(np.median(ess)) / wall, 1),
-        "iters_per_sec_per_chain": round(n_iter / wall, 1),
+        "iters_per_sec_per_chain": round(total_iters / wall, 1),
     }
 
 

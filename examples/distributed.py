@@ -13,7 +13,12 @@ present, the same pattern as tests/conftest.py).
      cross-chain split-R-hat / ESS diagnostics.
   3. Observation-sharded FITC marginal likelihood + gradient
      (`fitc_mll_sharded_fn`): each device holds n/P observations and the
-     low-rank algebra reduces with TSQR + psum.
+     low-rank algebra reduces with augmented TSQR + psum.
+  4. Non-Gaussian GPA on the SAME sharded dense covariance: the whitened
+     latent map f = L v differentiates THROUGH the distributed
+     factorization (custom VJP — parallel/cholesky.py
+     distributed_unwhiten_build), so HMC over [v; hypers] composes
+     observation sharding with sampling.
 
 On a real pod the only change is the mesh: build it from
 `jax.devices()` after `initialize_distributed()` (parallel/mesh.py).
@@ -121,11 +126,34 @@ def sharded_fitc():
           f"{float(fitc.mll):.2f}), |grad|={gnorm:.2f}")
 
 
+def distributed_gpa():
+    """Bernoulli-likelihood GPA whose dense covariance is tile-column
+    sharded: target gradients flow through the distributed Cholesky."""
+    P = len(jax.devices())
+    n, d = 16 * P, 2
+    rng = np.random.RandomState(5)
+    X = rng.randn(n, d)
+    y = (np.sin(X[:, 0]) + 0.3 * rng.randn(n) > 0).astype(float)
+    mesh = make_mesh({"j": P})
+    m = gp.GPA(X, y, gp.MeanZero(), gp.Matern(1.5, 0.0, 0.0),
+               gp.BernLik(),
+               covstrat=gp.DistributedFullCovariance(mesh=mesh))
+    t, g = m.target_and_dtarget()
+    from gaussianprocesses_jl_tpu.inference.hmc import hmc
+
+    logprob, x0, _, _ = m.make_logprob()
+    res = hmc(logprob, x0, jax.random.PRNGKey(6), n_iter=50, eps=0.02)
+    print(f"[gpa/{P}-mesh] n={n}: target={float(t):.2f}, "
+          f"|dtarget|={float(jnp.linalg.norm(g)):.2f}, "
+          f"50 HMC iters accept={float(res.accept_rate):.2f}")
+
+
 def main():
     print(f"devices: {len(jax.devices())} x {jax.default_backend()}")
     distributed_dense()
     sharded_chains()
     sharded_fitc()
+    distributed_gpa()
 
 
 if __name__ == "__main__":
