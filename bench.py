@@ -314,8 +314,11 @@ def bench_gpa_ess(n=200, d=5, chains=256, n_iter=600, warmup=100,
         chunks, accs = [], []
         th = starts
         for s in range(n_seg):
-            ks = jax.vmap(
-                lambda k: jax.random.fold_in(k, 7919 * salt + s))(keys)
+            # the fold constant must be a RUNTIME argument: baking the
+            # python int into the closure makes every segment a distinct
+            # executable (~60 s recompile each through the tunnel)
+            ks = jax.vmap(jax.random.fold_in)(
+                keys, jnp.full((chains,), 7919 * salt + s, jnp.uint32))
             res = run(th, ks)
             _sync(res.final_target)
             chunks.append(res.samples)  # (C, seg, D)

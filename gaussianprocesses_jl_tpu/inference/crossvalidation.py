@@ -14,7 +14,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models.covariance import FullCovariance
 from ..models.gpe import GPEParams, gpe_factorize
 from ..ops.linalg import solve_lower
 

@@ -13,13 +13,21 @@ __all__ = ["effective_sample_size", "split_rhat"]
 
 
 def _autocorr(x):
-    """Autocorrelation function of a 1-D series via FFT."""
+    """Autocorrelation function of a 1-D series via FFT.
+
+    A zero-variance (stuck/constant) chain has acov[0] = 0; treat it as
+    perfectly correlated (rho = 1 at every lag) so it contributes the
+    CONSERVATIVE tau -> ESS ~ 0 rather than a 0/0 NaN that poisons the
+    chain-pooled estimate (observed at 1024 vmapped chains when one chain
+    rejects through an entire measurement window)."""
     n = x.shape[0]
     x = x - jnp.mean(x)
     nfft = 2 * n
     f = jnp.fft.rfft(x, nfft)
     acov = jnp.fft.irfft(f * jnp.conj(f), nfft)[:n].real
-    return acov / acov[0]
+    ok = acov[0] > 0.0
+    safe = jnp.where(ok, acov[0], 1.0)
+    return jnp.where(ok, acov / safe, jnp.ones_like(acov))
 
 
 def effective_sample_size(samples):

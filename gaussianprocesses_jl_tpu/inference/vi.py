@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.covariance import FullCovariance
 from ..models.gpa import gpa_nugget
 from ..ops.linalg import solve_lower
 

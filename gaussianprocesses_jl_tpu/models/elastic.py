@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from ..ops.kernels import Kernel
 from ..ops.linalg import solve_lower
 from ..ops.means import Mean, MeanZero
-from ..utils.modules import replace
 from ..utils.params import wrap_param
 from .gpe import GPE, GPEParams, _as_X
 

@@ -16,8 +16,6 @@ Architecture vs. the reference:
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

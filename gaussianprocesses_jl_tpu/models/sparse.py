@@ -35,7 +35,6 @@ from jax.scipy.linalg import solve_triangular
 from ..ops.linalg import (add_diag, chol_logdet, default_jitter,
                           safe_cholesky, solve_lower, solve_upper)
 from ..utils.modules import Module, module
-from .covariance import FullCovariance
 
 __all__ = [
     "SubsetOfRegsStrategy",

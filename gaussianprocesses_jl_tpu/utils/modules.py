@@ -14,7 +14,6 @@ dataclass registered as a JAX pytree, so that
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

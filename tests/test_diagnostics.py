@@ -89,3 +89,16 @@ def test_checkpoint_rejects_wrong_structure():
             assert False, "expected ValueError for leaf-count mismatch"
         except ValueError:
             pass
+
+
+def test_ess_stuck_chain_is_conservative_not_nan():
+    """A zero-variance (stuck) chain must not NaN the pooled ESS; it should
+    drag the estimate down (rho treated as 1 at all lags)."""
+    rng = np.random.RandomState(3)
+    good = rng.randn(4, 400, 2)
+    stuck = good.copy()
+    stuck[0] = 1.234  # one chain constant over the whole window
+    e_good = np.asarray(effective_sample_size(jnp.asarray(good)))
+    e_stuck = np.asarray(effective_sample_size(jnp.asarray(stuck)))
+    assert np.all(np.isfinite(e_stuck))
+    assert np.all(e_stuck < e_good)
