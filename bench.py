@@ -264,10 +264,12 @@ def bench_gpa_ess(n=200, d=5, chains=256, n_iter=600, warmup=100,
                   eps=0.05):
     # eps picked by on-chip sweep: 0.02 -> accept .96, med 16 eff/s;
     # 0.05 -> accept .72, med 40 eff/s; 0.08 diverges (stuck chains).
-    # Collective dual-averaging (parallel/chains.sharded_hmc) finds the
-    # same eps~0.055 but its segmented/checkpointable runner costs 2.6x
-    # wall at this tiny scale, so the published single-chip metric uses
-    # the plain vmapped sampler at the swept step size.
+    # Collective dual-averaging + mass adaptation
+    # (parallel/chains.sharded_hmc, re-measured r3 at 256 chains with
+    # segment_iters) converges to the same eps* ~ 0.046 and the same
+    # ~0.055 eff-draws/iteration — adaptation reaches parity, not a win,
+    # on this target — so the published metric stays the plain vmapped
+    # sampler at the swept step size.
     """Effective samples/sec/chip on GPA Bernoulli classification
     (BASELINE.json metric; config #2). Crabs-shaped synthetic data
     (n=200, d=5, Matern-3/2 ARD kernel + probit likelihood — ref

@@ -115,7 +115,9 @@ def chol_logdet(L: jnp.ndarray) -> jnp.ndarray:
 # factor error as 6-pass at n=10240 (the panel factorizations and solves
 # always run at HIGHEST)
 _BLOCKED_CHOL_PRECISION = jax.lax.Precision.HIGH
-_BLOCKED_CHOL_MIN_N = 8192  # measured crossover vs XLA's kernel
+# measured crossover vs XLA's kernel with block=512 (r3): 0.90x at
+# n<=3000, 1.02x at 4096, 1.22x at 6144, 1.25x at 10000
+_BLOCKED_CHOL_MIN_N = 6000
 
 
 def blocked_cholesky(K: jnp.ndarray, block: int = 512,

@@ -66,7 +66,8 @@ def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
                 Lmin: int = 5, Lmax: int = 15, target_accept: float = 0.8,
                 thin: int = 1, adapt_mass: bool = True,
                 checkpoint_every: int | None = None,
-                checkpoint_path: str | None = None) -> ShardedHMCResult:
+                checkpoint_path: str | None = None,
+                segment_iters: int | None = None) -> ShardedHMCResult:
     """Run C chains of HMC sharded over `mesh` axis `axis`.
 
     theta0: (C, D) initial states, C divisible by the axis size.
@@ -81,7 +82,12 @@ def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
 
     checkpoint_every/checkpoint_path: persist the full sampler state every
     k iterations; if `checkpoint_path` exists the run RESUMES from it and
-    reproduces the uninterrupted chain bit-exactly."""
+    reproduces the uninterrupted chain bit-exactly.
+
+    segment_iters: run the scan in jitted segments of this many iterations
+    WITHOUT persisting anything — bit-identical to one long scan. Use to
+    bound single device executions (some runtimes kill multi-minute
+    executions; e.g. the remote-TPU tunnel restarts the worker at ~2 min)."""
     C, D = theta0.shape
     n_dev = mesh.shape[axis]
     if C % n_dev:
@@ -199,7 +205,8 @@ def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
     keys = jax.random.split(key, C)
     carry = jax.jit(init_fn)(theta0, keys)
 
-    seg = checkpoint_every if checkpoint_every is not None else total
+    seg = checkpoint_every if checkpoint_every is not None else (
+        segment_iters if segment_iters is not None else total)
     sample_chunks = []
     it_done = 0
     if checkpoint_path is not None and os.path.exists(checkpoint_path):

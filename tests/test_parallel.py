@@ -291,3 +291,23 @@ def test_initialize_distributed_single_process_warns():
         for k, v in saved.items():
             if v is not None:
                 os.environ[k] = v
+
+
+def test_sharded_hmc_segment_iters_bit_exact():
+    """segment_iters only splits the scan into jitted segments; the draws
+    must be bit-identical to the single-scan run (it bounds device
+    execution length for runtimes that kill multi-minute executions)."""
+    mesh = make_mesh({"chains": 8})
+    mu = jnp.asarray([0.5, -1.0])
+
+    def logp(th):
+        return -0.5 * jnp.sum((th - mu) ** 2)
+
+    theta0 = jnp.zeros((16, 2))
+    kw = dict(n_iter=60, n_warmup=30, eps0=0.1, Lmin=3, Lmax=5)
+    a = sharded_hmc(logp, theta0, jax.random.PRNGKey(9), mesh, **kw)
+    b = sharded_hmc(logp, theta0, jax.random.PRNGKey(9), mesh,
+                    segment_iters=25, **kw)
+    assert np.array_equal(np.asarray(a.samples), np.asarray(b.samples))
+    assert np.array_equal(np.asarray(a.final), np.asarray(b.final))
+    assert float(a.eps_final) == float(b.eps_final)
