@@ -68,7 +68,16 @@ def hmc_iteration(vg: Callable, theta, tgt, grad, key, eps, Lmin: int,
     Freezing the trajectory at the first -inf point instead (the previous
     behavior) permanently traps chains whose start is -inf once the
     adapted step size shrinks — recovery then needs a single-step exit.
-    Only non-finite *positions* (overflowed momenta) freeze + reject."""
+    Only non-finite *positions* (overflowed momenta) freeze + reject.
+
+    DELIBERATE deviation from reference semantics: the reference rejects
+    any trajectory that *touches* a non-finite point mid-path (its
+    PosDefException catch, ref src/mcmc.jl:19-29), while the glide
+    integrator can traverse a -inf barrier and accept a finite proposal on
+    the far side. Both samplers are statistically exact (the MH test uses
+    true endpoint targets); this one can tunnel across forbidden regions
+    the reference never crosses, which changes mixing behavior — not the
+    stationary distribution."""
     D = theta.shape[0]
     eps = jnp.asarray(eps, dtype=theta.dtype)
     minv = (jnp.ones((D,), theta.dtype) if minv is None

@@ -27,8 +27,11 @@ __all__ = ["mcmc", "ess", "MCMCResult"]
 @dataclass
 class MCMCResult:
     samples: jnp.ndarray  # (n_kept, D) or (chains, n_kept, D)
-    accept_rate: float | jnp.ndarray
+    accept_rate: float | jnp.ndarray | None  # HMC only; None for ess()
     final: jnp.ndarray
+    # ess() diagnostic: mean shrinkage proposals per iteration (ESS has no
+    # Metropolis accept step — every iteration accepts after shrinking)
+    mean_proposals: float | jnp.ndarray | None = None
 
     @property
     def posterior(self):
@@ -134,12 +137,18 @@ def ess(gp, key=None, n_iter: int = 1000, burn: int = 0, thin: int = 1,
         props = float(res.mean_proposals)
         final = res.final
     else:
-        keys = jax.random.split(key, chains)
+        keys = jax.random.split(key, chains + 1)
+        init_keys = jax.random.split(keys[0], chains)
+        # jitter chain starts (as mcmc() does) — identical starts make
+        # split-R-hat blind to multimodality
+        x0s = x0[None, :] + 0.01 * jax.vmap(
+            lambda k: jax.random.normal(k, x0.shape, dtype=x0.dtype)
+        )(init_keys)
         run = jax.vmap(
-            lambda k: _ess_kernel(loglik, x0, prior_mu, prior_sigma, k,
-                                  n_iter=n_iter)
+            lambda th, k: _ess_kernel(loglik, th, prior_mu, prior_sigma, k,
+                                      n_iter=n_iter)
         )
-        res = run(keys)
+        res = run(x0s, keys[1:])
         samples = res.samples[:, burn::thin]
         # pick the best chain by final mll (mirrors mcmc()'s best-target
         # selection rather than arbitrarily trusting chain 0)
@@ -152,9 +161,10 @@ def ess(gp, key=None, n_iter: int = 1000, burn: int = 0, thin: int = 1,
         print(f"ESS: iterations={n_iter} burn={burn} thin={thin} "
               f"mean_proposals_per_iter="
               f"{jnp.round(jnp.mean(jnp.asarray(props)), 3)}")
-    return MCMCResult(samples=samples,
-                      accept_rate=1.0 / jnp.mean(jnp.asarray(props)),
-                      final=final)
+    # ESS has no Metropolis accept step (accept_rate=None); the sampler
+    # diagnostic is the mean shrinkage-proposal count per iteration
+    return MCMCResult(samples=samples, accept_rate=None, final=final,
+                      mean_proposals=props)
 
 
 def _model_priors_flat(gp):

@@ -153,10 +153,11 @@ class ElasticGPE(GPE):
         self._fresh = True
 
     def set_params(self, hyp, **flags):
+        # mark stale only: the O(n^3) factor is rebuilt lazily on next
+        # access (`chol` / `mll` / `append`), so a hyperparameter sweep
+        # pays one refit per *use*, not per set_params call
         out = super().set_params(hyp, **flags)
         self._fresh = False
-        if self._n > 0:
-            self._rebuild()
         return out
 
     # -- fast paths using the maintained factor ----------------------------

@@ -73,13 +73,15 @@ def _latent_f(params: GPAParams, X, covstrat):
 def gpa_ll(params: GPAParams, X, y, covstrat=FullCovariance()):
     """log p(y | v, theta) (ref update_ll!, src/GPA.jl:118-128).
 
-    Strategies exposing a fused `latent_f(kernel, nugget, X, v) -> (f, ok)`
-    (e.g. DistributedFullCovariance, whose gradient goes through a custom
-    VJP on the sharded factorization) take that path on the sampling hot
-    loop; the aux pd is then None (prediction uses gpa_predict_f, which
-    builds the full PD)."""
-    fused = getattr(covstrat, "latent_f", None)
-    if fused is not None:
+    Strategies declaring `supports_fused_latent_f = True` (an explicit
+    protocol flag — not duck typing on the attribute name) must expose
+    `latent_f(kernel, nugget, X, v) -> (f, ok)` (e.g.
+    DistributedFullCovariance, whose gradient goes through a custom VJP on
+    the sharded factorization); that path is taken on the sampling hot
+    loop, and the aux pd is then None (prediction uses gpa_predict_f,
+    which builds the full PD)."""
+    if getattr(covstrat, "supports_fused_latent_f", False):
+        fused = covstrat.latent_f
         mu = params.mean.mean(X)
         f, ok = fused(params.kernel, gpa_nugget(X.dtype), X, params.v)
         f = f + mu
@@ -284,6 +286,51 @@ class GPA:
             return gpa_ll(p, X, y, cs)[0]
 
         return logprob, x0, embed, blocks
+
+    def make_split_logprob(self, *, include_priors=True):
+        """Target split for `inference.split.split_hmc` — the TPU analog of
+        the reference's "recompute K only if kern moved" cache (ref
+        update_ll!, src/GPA.jl:118-128).
+
+        Block A = [v; lik; mean] (the factor is constant given the
+        kernel), block B = [kern] (moves refactorize). Returns
+        (precompute, logprob_a, logprob_b, a0, b0):
+
+          precompute(b)          -> pd (factorized K at kernel params b)
+          logprob_a(a, pd, b)    -> full joint target with the CACHED pd
+          logprob_b(b, a)        -> full joint target, rebuilding pd
+        """
+        base, X, y, cs = self.params, self.x, self.y, self.covstrat
+        sk = base.block_slices()[3]
+        na = sk.start
+        full0 = base.flat_params()
+
+        def to_params(a, b):
+            return base.with_flat_params(jnp.concatenate([a, b]))
+
+        def precompute(b):
+            kern = base.kernel.with_flat_params(b)
+            return cs.build(kern, gpa_nugget(X.dtype), X)
+
+        def logprob_a(a, pd, b):
+            p = to_params(a, b)
+            mu = p.mean.mean(X)
+            f = pd.unwhiten(p.v) + mu  # one batched matvec — no Cholesky
+            ll = jnp.sum(p.lik.log_dens(f, y))
+            n = jnp.size(p.v)
+            lp = ll - 0.5 * (jnp.sum(p.v**2) + n * _LOG_2PI)
+            if include_priors:
+                lp = lp + (p.lik.prior_logpdf() + p.mean.prior_logpdf()
+                           + p.kernel.prior_logpdf())
+            return jnp.where(pd.ok, lp, -jnp.inf)
+
+        def logprob_b(b, a):
+            p = to_params(a, b)
+            if include_priors:
+                return gpa_target(p, X, y, cs)[0]
+            return gpa_ll(p, X, y, cs)[0]
+
+        return precompute, logprob_a, logprob_b, full0[:na], full0[na:]
 
     def make_objective(self, lik=True, domean=True, kern=True):
         """value_and_grad over [v; selected hyper blocks] — v always free

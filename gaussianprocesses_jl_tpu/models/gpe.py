@@ -282,12 +282,26 @@ class GPE:
 
     def predict_y(self, xs, full_cov: bool = False):
         """Adds observation noise to the latent predictive
-        (ref predict_y, src/GPE.jl:408-416)."""
+        (ref predict_y, src/GPE.jl:408-416).
+
+        Heteroscedastic (vector-noise) models support predict_y only at the
+        TRAINING locations, where the per-observation noise is defined (the
+        reference's vector-noise GPE is exercised through prediction in
+        test/heteroscedastic.jl); at new locations the noise is undefined —
+        use predict_f."""
         if jnp.ndim(self.lognoise) > 0:
-            raise ValueError(
-                "predict_y is undefined for heteroscedastic (vector) noise at "
-                "new locations; use predict_f"
-            )
+            xs_ = _as_X(xs)
+            if xs_.shape != self.x.shape or not bool(
+                    jnp.all(xs_ == self.x)):
+                raise ValueError(
+                    "heteroscedastic (vector-noise) predict_y is defined "
+                    "only at the training locations (the per-observation "
+                    "noise vector); use predict_f at new locations")
+            mu, cov = self.predict_f(xs_, full_cov=full_cov)
+            nv = _noise_var(self.lognoise)  # (n,) per-observation variances
+            if full_cov:
+                return mu, cov + jnp.diag(nv)
+            return mu, cov + nv
         mu, cov = self.predict_f(xs, full_cov=full_cov)
         nv = _noise_var(self.lognoise)
         if full_cov:

@@ -436,7 +436,14 @@ class Noise(Kernel):
     per-coordinate test (worst-coordinate sense), with an absolute floor
     near the origin. Relative (not absolute) tolerance matters in f32:
     duplicated points with coordinates ~1e3 round d2 at exactly the
-    eps * |x|^2 scale through the MXU gram expansion."""
+    eps * |x|^2 scale through the MXU gram expansion.
+
+    Known divergence from the reference NEAR THE ORIGIN: the absolute
+    floor (scale clamped to >= 1) merges distinct points within ~sqrt(eps)
+    absolute distance of each other when both lie near 0 — e.g. (0,) and
+    (1e-10,) — where the reference's per-coordinate relative isapprox
+    keeps them distinct. Accepted tradeoff: without the floor, (0,) vs
+    (0,) itself would fail the test under f32 gram round-off."""
 
     lsigma: Any
     priors: tuple = ()

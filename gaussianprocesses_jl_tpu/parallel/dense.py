@@ -22,6 +22,9 @@ from jax.sharding import Mesh
 from ..models.covariance import FullCovariance
 from ..utils.modules import Module, module
 from .cholesky import (
+    ambient_gram,
+    ambient_quad_logdet,
+    ambient_unwhiten_build,
     build_tiles,
     choose_tile_size,
     distributed_chol_solve,
@@ -33,7 +36,8 @@ from .cholesky import (
     identity_tiles,
 )
 
-__all__ = ["DistributedPD", "DistributedFullCovariance"]
+__all__ = ["DistributedPD", "DistributedFullCovariance",
+           "AmbientFullCovariance"]
 
 
 @module(static=("mesh", "axis", "B"))
@@ -90,6 +94,9 @@ class DistributedFullCovariance(Module):
     B: int | None = None
 
     supports_whitened_latents = True
+    # explicit protocol flag: gpa_ll routes the sampling hot loop through
+    # latent_f() only when this is declared (no attribute duck-typing)
+    supports_fused_latent_f = True
 
     def _tile(self, n: int) -> int:
         if self.B is not None:
@@ -136,3 +143,34 @@ class DistributedFullCovariance(Module):
         the whiten running as distributed forward substitution."""
         return FullCovariance.predict_mvn(self, pd, kernel, X, r, alpha, Xs,
                                           full_cov)
+
+
+@module(static=("axis", "P_", "B"))
+class AmbientFullCovariance(Module):
+    """Exact dense covariance over an AMBIENT mesh axis — the covstrat for
+    chains x j composition (VERDICT r4 item 2).
+
+    Usable ONLY inside an enclosing shard_map whose mesh includes `axis`
+    (e.g. parallel/chains.sharded_hmc over make_pod_mesh({'j': P_}):
+    shard_map in_specs split chains, leave 'j' unsharded, and every psum /
+    ppermute in the tile machinery resolves against the ambient axis). The
+    mll (GPE) and whitened-latent map (GPA) are differentiable through the
+    device-local factorization via the ambient custom VJPs
+    (parallel/cholesky.py). n must satisfy n % (B * P_) == 0."""
+
+    axis: str = "j"
+    P_: int = 1
+    B: int = 64
+
+    supports_whitened_latents = True
+    supports_fused_latent_f = True
+
+    def quad_logdet(self, kernel, noise_var, X, r):
+        tiles = ambient_gram(kernel, noise_var, X, self.B, self.P_,
+                             self.axis)
+        return ambient_quad_logdet(tiles, r, self.B, self.P_, self.axis)
+
+    def latent_f(self, kernel, noise_var, X, v):
+        tiles = ambient_gram(kernel, noise_var, X, self.B, self.P_,
+                             self.axis)
+        return ambient_unwhiten_build(tiles, v, self.B, self.P_, self.axis)

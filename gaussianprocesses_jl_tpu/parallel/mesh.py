@@ -71,23 +71,30 @@ def _distributed_kwargs(coordinator_address=None, num_processes=None,
             kwargs["process_id"] = int(pid)
         except (TypeError, ValueError):
             raise ValueError(f"JAX_PROCESS_ID must be an int, got {pid!r}")
-    # a coordinator address without a rank (or vice versa) is a
-    # misconfigured pod job — jax would hang or mis-join; reject up front
+    # Validation: a coordinator address without a rank is a misconfigured
+    # pod job — jax would hang or mis-join; reject up front. BOTH
+    # num_processes and process_id without an address are allowed (Cloud
+    # TPU auto-detects the coordinator from the TPU metadata), but a lone
+    # one of the pair is half-specified in every backend.
+    has_np, has_pid = "num_processes" in kwargs, "process_id" in kwargs
     if "coordinator_address" in kwargs:
-        missing = [k for k in ("num_processes", "process_id")
-                   if k not in kwargs]
+        missing = [k for k, h in (("num_processes", has_np),
+                                  ("process_id", has_pid)) if not h]
         if missing:
             raise ValueError(
                 "explicit JAX_COORDINATOR_ADDRESS requires "
                 + " and ".join(missing)
                 + " (set JAX_NUM_PROCESSES / JAX_PROCESS_ID)")
+    elif has_np != has_pid:
+        raise ValueError(
+            "num_processes and process_id must be given together (a "
+            "coordinator address is optional only on auto-detecting "
+            "backends such as Cloud TPU)")
+    if has_np and has_pid:
         npv, pv = kwargs["num_processes"], kwargs["process_id"]
         if npv < 1 or not (0 <= pv < npv):
             raise ValueError(
                 f"process_id {pv} out of range for num_processes {npv}")
-    elif kwargs:
-        raise ValueError(
-            "num_processes/process_id given without a coordinator address")
     return kwargs
 
 

@@ -74,3 +74,36 @@ def test_set_params_invalidates():
     # optimize works end to end after appends (ref elastic.jl post-optimize)
     eg.optimize(maxiter=20)
     assert np.isfinite(float(eg.mll))
+
+
+def test_set_params_is_lazy():
+    """set_params must only mark the factor stale; the O(n^3) rebuild
+    happens on next access, not per set_params call (VERDICT r3 item 8)."""
+    rng = np.random.RandomState(3)
+    eg = ElasticGPE(1, kernel=gp.SE(0.0, 0.0), lognoise=-1.0, capacity=16)
+    eg.append(rng.randn(10, 1), rng.randn(10))
+    assert eg._fresh
+    calls = {"n": 0}
+    orig = ElasticGPE._rebuild
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    ElasticGPE._rebuild = counting
+    try:
+        v = eg.get_params()
+        for i in range(5):  # a sweep of set_params costs zero rebuilds
+            eg.set_params(v + 0.01 * i)
+        assert calls["n"] == 0
+        assert not eg._fresh
+        mll = float(eg.mll)  # first access pays exactly one rebuild
+        assert calls["n"] == 1
+        float(eg.mll)
+        assert calls["n"] == 1  # cached while fresh
+    finally:
+        ElasticGPE._rebuild = orig
+    batch = gp.GPE(np.asarray(eg.x), np.asarray(eg.y),
+                   kernel=eg.params.kernel,
+                   lognoise=float(np.asarray(eg.lognoise)))
+    assert np.allclose(mll, float(batch.mll), atol=1e-8)

@@ -122,8 +122,20 @@ def test_heteroscedastic_noise(dataset):
     # vector noise equals scalar noise when constant
     ms = gp.GPE(X, y, kernel=gp.SE(0.2, 0.1), lognoise=-1.0)
     assert np.allclose(float(m.mll), float(ms.mll), rtol=1e-12)
-    with pytest.raises(ValueError):
-        m.predict_y(X)
+    # predict_y is supported at the TRAINING locations (where the noise
+    # vector is defined; ref test/heteroscedastic.jl exercises prediction)
+    mu_v, var_v = m.predict_y(X)
+    mu_s, var_s = ms.predict_y(X)
+    assert np.allclose(np.asarray(mu_v), np.asarray(mu_s), atol=1e-10)
+    assert np.allclose(np.asarray(var_v), np.asarray(var_s), atol=1e-10)
+    mu_fc, cov_fc = m.predict_y(X, full_cov=True)
+    assert np.allclose(np.asarray(jnp.diag(cov_fc)), np.asarray(var_v),
+                       atol=1e-10)
+    # ... and refuses at NEW locations, where per-point noise is undefined
+    with pytest.raises(ValueError, match="training locations"):
+        m.predict_y(X + 0.5)
+    with pytest.raises(ValueError, match="training locations"):
+        m.predict_y(X[: n // 2])
 
 
 def test_optimize_improves(dataset):

@@ -178,3 +178,15 @@ def test_sharded_hmc_never_absorbs_minus_inf():
     kept = np.asarray(res.samples)  # (C, n_keep, D)
     assert np.all(np.isfinite(kept))
     assert np.all(kept[..., 0] <= 1.0)
+
+
+def test_ess_multichain_jitters_starts(gpe_model):
+    """ess(chains=k) must jitter chain starts (identical starts blind
+    split-R-hat to multimodality) and label its diagnostic honestly:
+    accept_rate is None, mean_proposals is the shrinkage count."""
+    res = gp.ess(gpe_model, jax.random.PRNGKey(7), n_iter=5, chains=3,
+                 verbose=False)
+    first = np.asarray(res.samples[:, 0, :])
+    assert not np.allclose(first[0], first[1])
+    assert res.accept_rate is None
+    assert np.all(np.asarray(res.mean_proposals) >= 1.0)

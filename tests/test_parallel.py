@@ -261,8 +261,14 @@ def test_distributed_kwargs_parsing():
     # half-specified configs fail loudly
     with pytest.raises(ValueError, match="requires"):
         _distributed_kwargs("h:1", env={})
-    with pytest.raises(ValueError, match="coordinator"):
-        _distributed_kwargs(num_processes=2, process_id=0, env={})
+    with pytest.raises(ValueError, match="together"):
+        _distributed_kwargs(num_processes=2, env={})
+    with pytest.raises(ValueError, match="together"):
+        _distributed_kwargs(process_id=0, env={})
+    # BOTH rank fields without an address pass through (Cloud TPU
+    # auto-detects the coordinator from TPU metadata)
+    assert _distributed_kwargs(num_processes=2, process_id=0, env={}) == {
+        "num_processes": 2, "process_id": 0}
     with pytest.raises(ValueError, match="must be an int"):
         _distributed_kwargs(env={"JAX_COORDINATOR_ADDRESS": "h:1",
                                  "JAX_NUM_PROCESSES": "four",
