@@ -261,15 +261,21 @@ def bench_cholesky(n=10000, reps=8, n_trials=4):
 
 
 def bench_gpa_ess(n=200, d=5, chains=256, n_iter=600, warmup=100,
-                  eps=0.05):
-    # eps picked by on-chip sweep: 0.02 -> accept .96, med 16 eff/s;
-    # 0.05 -> accept .72, med 40 eff/s; 0.08 diverges (stuck chains).
-    # Collective dual-averaging + mass adaptation
-    # (parallel/chains.sharded_hmc, re-measured r3 at 256 chains with
-    # segment_iters) converges to the same eps* ~ 0.046 and the same
-    # ~0.055 eff-draws/iteration — adaptation reaches parity, not a win,
-    # on this target — so the published metric stays the plain vmapped
-    # sampler at the swept step size.
+                  eps=0.05, sampler="split", a_iters=4, eps_a=0.25,
+                  eps_b=0.05):
+    # Joint-sampler eps picked by on-chip sweep: 0.02 -> accept .96, med
+    # 16 eff/s; 0.05 -> accept .72, med 40 eff/s; 0.08 diverges. Collective
+    # dual-averaging adaptation (parallel/chains.sharded_hmc, r3) converges
+    # to the same eps* ~ 0.046 — parity, not a win, on this target.
+    #
+    # sampler="split" (default, r4): factor-cached Metropolis-within-Gibbs
+    # (inference/split.py) — `a_iters` cheap updates of [v; lik; mean]
+    # against the cached Cholesky factor (no factorization in the leapfrog)
+    # alternate with one kernel-block update that refactorizes; each block
+    # gets its own step size (eps_a for the well-conditioned whitened
+    # latents, eps_b for the kernel hypers). The TPU analog of the
+    # reference's "recompute K only if kern moved" check
+    # (ref src/GPA.jl:118-128).
     """Effective samples/sec/chip on GPA Bernoulli classification
     (BASELINE.json metric; config #2). Crabs-shaped synthetic data
     (n=200, d=5, Matern-3/2 ARD kernel + probit likelihood — ref
@@ -293,12 +299,8 @@ def bench_gpa_ess(n=200, d=5, chains=256, n_iter=600, warmup=100,
     m = gp.GPA(X, y, gp.MeanZero(),
                gp.Matern(1.5, np.zeros(d, np.float32), np.float32(0.0)),
                gp.BernLik())
-    logprob, x0, _, _ = m.make_logprob()
-    D = x0.shape[0]
 
     keys = jax.random.split(jax.random.PRNGKey(11), chains)
-    starts = x0[None, :] + 0.01 * jax.vmap(
-        lambda k: jax.random.normal(k, x0.shape, dtype=x0.dtype))(keys)
 
     # SEGMENTED execution: a single 600-iteration scan at 256+ chains is
     # a ~150 s device execution, which crashes/restarts the remote TPU
@@ -309,8 +311,33 @@ def bench_gpa_ess(n=200, d=5, chains=256, n_iter=600, warmup=100,
     n_seg = -(-n_iter // seg)
     total_iters = n_seg * seg
 
-    run = jax.vmap(lambda th, k: hmc(logprob, th, k, n_iter=seg,
-                                     eps=eps, Lmin=5, Lmax=15))
+    if sampler == "split":
+        precompute, lp_a, lp_b, a0, b0 = m.make_split_logprob()
+        na, D = a0.shape[0], a0.shape[0] + b0.shape[0]
+        x0 = jnp.concatenate([a0, b0])
+        draws_per_iter = a_iters
+    else:
+        logprob, x0, _, _ = m.make_logprob()
+        na, D = None, x0.shape[0]
+        draws_per_iter = 1
+
+    starts = x0[None, :] + 0.01 * jax.vmap(
+        lambda k: jax.random.normal(k, x0.shape, dtype=x0.dtype))(keys)
+
+    if sampler == "split":
+        def one(th, k):
+            res = gp.split_hmc(precompute, lp_a, lp_b, th[:na], th[na:],
+                               k, n_iter=seg, a_iters=a_iters,
+                               eps_a=eps_a, eps_b=eps_b, Lmin=5, Lmax=15)
+            acc = jnp.stack([res.accept_rate_a, res.accept_rate_b])
+            return res.samples, acc, res.final, res.final_target
+    else:
+        def one(th, k):
+            res = hmc(logprob, th, k, n_iter=seg, eps=eps, Lmin=5, Lmax=15)
+            acc = jnp.stack([res.accept_rate, res.accept_rate])
+            return res.samples, acc, res.final, res.final_target
+
+    run = jax.vmap(one)
 
     def run_segmented(salt):
         chunks, accs = [], []
@@ -321,35 +348,47 @@ def bench_gpa_ess(n=200, d=5, chains=256, n_iter=600, warmup=100,
             # executable (~60 s recompile each through the tunnel)
             ks = jax.vmap(jax.random.fold_in)(
                 keys, jnp.full((chains,), 7919 * salt + s, jnp.uint32))
-            res = run(th, ks)
-            _sync(res.final_target)
-            chunks.append(res.samples)  # (C, seg, D)
-            accs.append(float(np.mean(np.asarray(res.accept_rate))))
-            th = res.final
-        return jnp.concatenate(chunks, axis=1), float(np.mean(accs))
+            samples_s, acc_s, th, ft = run(th, ks)
+            _sync(ft)
+            chunks.append(samples_s)  # (C, seg*draws_per_iter, D)
+            accs.append(np.mean(np.asarray(acc_s), axis=0))  # (2,)
+        return jnp.concatenate(chunks, axis=1), np.mean(accs, axis=0)
 
-    res0 = run(starts, keys)  # compile + warmup (one segment)
-    _sync(res0.final_target)
+    out0 = run(starts, keys)  # compile + warmup (one segment)
+    _sync(out0[3])
     t0 = time.perf_counter()
     samples, acc = run_segmented(salt=1)
     wall = time.perf_counter() - t0
 
-    post = samples[:, warmup:, :]  # (C, n_kept, D)
+    post = samples[:, warmup * draws_per_iter:, :]  # (C, n_kept, D)
     ess = np.asarray(effective_sample_size(post))
-    return {
+    from gaussianprocesses_jl_tpu.inference.diagnostics import split_rhat
+
+    rhat = np.asarray(split_rhat(post))
+    out = {
         "n_obs": n,
         "dim_theta": int(D),
+        "sampler": sampler,
         "chains": chains,
         "iters_post_warmup": int(total_iters - warmup),
+        "draws_per_iter": draws_per_iter,
         "segments": int(n_seg),
         "wall_s": round(wall, 3),
-        "accept_rate": round(acc, 3),
+        "accept_rate": round(float(np.mean(acc)), 3),
         "ess_min": round(float(ess.min()), 1),
         "ess_median": round(float(np.median(ess)), 1),
         "ess_per_sec_min": round(float(ess.min()) / wall, 1),
         "ess_per_sec_median": round(float(np.median(ess)) / wall, 1),
+        "rhat_max": round(float(np.nanmax(rhat)), 4),
         "iters_per_sec_per_chain": round(total_iters / wall, 1),
     }
+    if sampler == "split":
+        out["a_iters"] = a_iters
+        out["eps_a"] = eps_a
+        out["eps_b"] = eps_b
+        out["accept_a"] = round(float(acc[0]), 3)
+        out["accept_b"] = round(float(acc[1]), 3)
+    return out
 
 
 def bench_gpa_chains_scaling(chain_counts=(16, 64, 256, 1024)):

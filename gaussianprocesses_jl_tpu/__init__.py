@@ -81,6 +81,7 @@ from .models.sparse import (
     FullScaleApproxStrat,
 )
 from .inference.mcmc import mcmc, ess
+from .inference.split import split_hmc, SplitHMCResult
 from .inference.optimize import optimize
 from .inference.vi import vi, elbo, Approx, vi_predict_f, vi_predict_y
 from .inference.crossvalidation import (

@@ -33,7 +33,7 @@ ADDITIONS = [
     "SoR", "DTC", "FITC", "FSA",
     "predict_LOO", "logp_LOO", "dlogp_LOO",
     "predict_CVfold", "logp_CVfold", "dlogp_CVfold",
-    "effective_sample_size", "split_rhat",
+    "effective_sample_size", "split_rhat", "split_hmc",
     "save_checkpoint", "load_checkpoint",
     "plot_gp", "plot_gp_2d", "GPRegressor",
     "vi_predict_f", "vi_predict_y", "Param", "Module", "priors",
