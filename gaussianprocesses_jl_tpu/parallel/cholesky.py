@@ -62,6 +62,15 @@ __all__ = [
     "tile_and_shard",
     "untile",
     "choose_tile_size",
+    "ambient_gram",
+    "ambient_cholesky",
+    "ambient_identity_tiles",
+    "ambient_solve_lower",
+    "ambient_solve_upper",
+    "ambient_unwhiten",
+    "ambient_quad_logdet",
+    "ambient_unwhiten_build",
+    "ambient_mll",
 ]
 
 
@@ -659,6 +668,188 @@ def _dub_bwd(B, mesh, axis, res, cots):
 
 
 distributed_unwhiten_build.defvjp(_dub_fwd, _dub_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Ambient-axis API: the same machinery usable INSIDE an enclosing shard_map
+# ---------------------------------------------------------------------------
+#
+# The top-level functions above each open their own shard_map; shard_maps do
+# not nest, so a sampler that is itself shard_mapped over a 'chains' axis
+# (parallel/chains.sharded_hmc) cannot call them. These `ambient_*` variants
+# call the `_local_*` bodies directly: they assume the caller is ALREADY
+# inside a shard_map whose mesh includes `axis` (so lax.psum / ppermute over
+# it resolve ambiently), and they take/return device-local tile-columns.
+# This is what composes chains x j on a 2-D mesh (VERDICT r4 item 2):
+# shard_map(mesh=('chains','j'), in_specs=P('chains')) makes 'j' ambient for
+# every chain shard, and the custom VJPs below keep the target differentiable
+# there.
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ambient_gram(kernel, noise_var, X, B: int, P_: int, axis: str = "j"):
+    """Device-local tile-columns of K + diag(noise) (build_tiles body).
+
+    Custom VJP: the backward pass psums the kernel/noise/X cotangents over
+    `axis` — each device's tile-columns contribute only a local share of
+    the (replicated) hyperparameter gradient, and inside-the-body
+    differentiation (see _aql_bwd note) has no boundary transpose to sum
+    them. This is what makes grad-of-the-target correct for chains x j."""
+    n = X.shape[0]
+    assert n % B == 0 and (n // B) % P_ == 0
+    return _local_gram(axis, n // B, P_, B, kernel, noise_var, X)
+
+
+def _ag_fwd(kernel, noise_var, X, B, P_, axis):
+    out = ambient_gram(kernel, noise_var, X, B, P_, axis)
+    return out, (kernel, noise_var, X)
+
+
+def _ag_bwd(B, P_, axis, res, tiles_bar):
+    kernel, noise_var, X = res
+    nb = X.shape[0] // B
+    _, vjp = jax.vjp(
+        lambda k, nv, x: _local_gram(axis, nb, P_, B, k, nv, x),
+        kernel, noise_var, X)
+    cots = vjp(tiles_bar)
+    return jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), cots)
+
+
+ambient_gram.defvjp(_ag_fwd, _ag_bwd)
+
+
+def ambient_cholesky(tiles_loc, P_: int, axis: str = "j"):
+    """(L_tiles_local, logdet) from device-local tile-columns."""
+    nb = tiles_loc.shape[0]
+    L_loc, logdet = _local_cholesky(axis, nb, P_, tiles_loc)
+    return L_loc, logdet[0]
+
+
+def ambient_identity_tiles(nb: int, B: int, P_: int, axis: str = "j",
+                           dtype=jnp.float64):
+    _, nbl, js = _local_js(axis, nb, P_)
+    eyeB = jnp.eye(B, dtype=dtype)
+    dmask = (jnp.arange(nb)[:, None] == js[None, :])
+    return dmask[:, :, None, None] * eyeB[None, None]
+
+
+def _ambient_solve(L_loc, b, B, P_, axis, lower=True):
+    nb = L_loc.shape[0]
+    blocks, vec = _blocked(b, nb, B)
+    body = _local_solve if lower else _local_solve_upper
+    y = body(axis, nb, P_, L_loc, blocks)[0].reshape(nb * B, -1)
+    return y[:, 0] if vec else y
+
+
+def ambient_solve_lower(L_loc, b, B: int, P_: int, axis: str = "j"):
+    return _ambient_solve(L_loc, b, B, P_, axis, True)
+
+
+def ambient_solve_upper(L_loc, b, B: int, P_: int, axis: str = "j"):
+    return _ambient_solve(L_loc, b, B, P_, axis, False)
+
+
+def ambient_unwhiten(L_loc, v, B: int, P_: int, axis: str = "j"):
+    nb = L_loc.shape[0]
+    blocks, vec = _blocked(v, nb, B)
+    y = _local_unwhiten(axis, nb, P_, L_loc, blocks)[0].reshape(nb * B, -1)
+    return y[:, 0] if vec else y
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def ambient_quad_logdet(tiles_loc, r, B: int, P_: int, axis: str = "j"):
+    """(r^T K^-1 r, logdet K, ok) on device-local tile-columns, inside an
+    enclosing shard_map (ambient `axis`). Same custom-VJP strategy as
+    distributed_quad_logdet (ring-ppermute K^-1 backward)."""
+    L_loc, logdet = ambient_cholesky(tiles_loc, P_, axis)
+    w = ambient_solve_lower(L_loc, r, B, P_, axis)
+    quad = jnp.sum(w * w)
+    ok = jnp.isfinite(quad) & jnp.isfinite(logdet)
+    return quad, logdet, ok
+
+
+def _aql_fwd(tiles_loc, r, B, P_, axis):
+    n = r.shape[0]
+    L_loc, logdet = ambient_cholesky(tiles_loc, P_, axis)
+    w = ambient_solve_lower(L_loc, r, B, P_, axis)
+    quad = jnp.sum(w * w)
+    ok = jnp.isfinite(quad) & jnp.isfinite(logdet)
+    return (quad, logdet, ok), (L_loc, w.reshape(n // B, B))
+
+
+def _aql_bwd(B, P_, axis, res, cots):
+    # IMPORTANT calling convention: differentiate these ambient functions
+    # INSIDE the enclosing shard_map body (jax.value_and_grad around a
+    # function that calls them, all within the body — what sharded_hmc
+    # does). There the cotangents arriving here are plain device-level
+    # values (quad_bar/logdet_bar replicated over `axis`, full logical
+    # magnitude), and the device-local tile cotangents below are exactly
+    # right. Differentiating THROUGH the shard_map boundary instead uses
+    # jax's check_vma=False physical-share convention (per-device
+    # cotangent = logical / axis size) and would need psum/1-P
+    # rescaling — do not mix the two; test_chains_x_j pins the inside
+    # convention.
+    L_loc, w_blocks = res
+    quad_bar, logdet_bar, _ = cots
+    nb = L_loc.shape[0]
+    tiles_bar, r_bar = _local_bwd(
+        axis, nb, P_, L_loc, w_blocks,
+        jnp.asarray(quad_bar, L_loc.dtype),
+        jnp.asarray(logdet_bar, L_loc.dtype))
+    return tiles_bar, r_bar[0].reshape(-1)
+
+
+ambient_quad_logdet.defvjp(_aql_fwd, _aql_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def ambient_unwhiten_build(tiles_loc, v, B: int, P_: int, axis: str = "j"):
+    """(f, ok), f = L v through the device-local factorization, inside an
+    enclosing shard_map — the whitened-latent map for chains x j GPA."""
+    L_loc, logdet = ambient_cholesky(tiles_loc, P_, axis)
+    ok = jnp.isfinite(logdet)
+    eye_t = ambient_identity_tiles(tiles_loc.shape[0], B, P_, axis,
+                                   dtype=tiles_loc.dtype)
+    L_loc = jnp.where(ok, L_loc, eye_t)
+    f = ambient_unwhiten(L_loc, v, B, P_, axis)
+    return f, ok
+
+
+def _aub_fwd(tiles_loc, v, B, P_, axis):
+    L_loc, logdet = ambient_cholesky(tiles_loc, P_, axis)
+    ok = jnp.isfinite(logdet)
+    eye_t = ambient_identity_tiles(tiles_loc.shape[0], B, P_, axis,
+                                   dtype=tiles_loc.dtype)
+    L_loc = jnp.where(ok, L_loc, eye_t)
+    f = ambient_unwhiten(L_loc, v, B, P_, axis)
+    return (f, ok), (L_loc, v)
+
+
+def _aub_bwd(B, P_, axis, res, cots):
+    # same inside-the-body calling convention as _aql_bwd (see its note)
+    L_loc, v = res
+    f_bar, _ = cots
+    nb = L_loc.shape[0]
+    gb = jnp.asarray(f_bar, L_loc.dtype).reshape(nb, B)
+    vb = jnp.asarray(v, L_loc.dtype).reshape(nb, B)
+    tiles_bar, vbar = _local_unwhiten_bwd(axis, nb, P_, L_loc, gb, vb)
+    return tiles_bar, vbar[0].reshape(-1)
+
+
+ambient_unwhiten_build.defvjp(_aub_fwd, _aub_bwd)
+
+
+def ambient_mll(kernel, noise_var, X, y_centered, B: int, P_: int,
+                axis: str = "j"):
+    """Dense-GP mll with K sharded over the ambient `axis` (device-local
+    build + factorization + differentiable quad/logdet), callable inside an
+    enclosing shard_map — the chains x j inner target."""
+    n = X.shape[0]
+    tiles_loc = ambient_gram(kernel, noise_var, X, B, P_, axis)
+    quad, logdet, ok = ambient_quad_logdet(tiles_loc, y_centered, B, P_,
+                                           axis)
+    mll = -0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+    return jnp.where(ok, mll, -jnp.inf)
 
 
 def distributed_mll(kernel, noise_var, X, y_centered, B: int, mesh: Mesh,
