@@ -36,7 +36,18 @@ def main(n_iter=500, vi_iters=300):
                   burn=n_iter // 5)
     mu_mcmc, _ = m.predict_y(X)
 
-    Q = gp.vi(m, nits=vi_iters)
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # multi-restart VI sharded over the device mesh (parallel/vi.py):
+        # 2 jittered restarts per device, best final ELBO wins
+        mesh = gp.make_mesh({"chains": n_dev})
+        r = gp.sharded_vi(m, mesh, restarts=2 * n_dev, nits=vi_iters,
+                          key=jax.random.PRNGKey(2))
+        Q = r.approx
+        print(f"sharded_vi: {len(r.elbos)} restarts on {n_dev} devices, "
+              f"best elbo {r.elbo:.2f} (restart {r.best})")
+    else:
+        Q = gp.vi(m, nits=vi_iters)
     mu_vi, _ = gp.vi_predict_y(m, Q, X)
 
     c_m = float(np.corrcoef(np.asarray(mu_mcmc), y)[0, 1])

@@ -33,7 +33,8 @@ import numpy as np
 from ..models.gpa import gpa_nugget
 from ..ops.linalg import solve_lower
 
-__all__ = ["Approx", "elbo", "vi", "vi_predict_f", "vi_predict_y"]
+__all__ = ["Approx", "elbo", "vi", "make_neg_elbo", "vi_predict_f",
+           "vi_predict_y"]
 
 
 @dataclass
@@ -71,20 +72,17 @@ def elbo(gp, m, v):
     return 0.5 * kl_terms + gp.params.lik.var_exp(gp.y, m, v)
 
 
-def vi(gp, nits: int = 100, method: str = "lbfgs", lr: float = 0.05,
-       verbose: bool = False) -> Approx:
-    """Fit the mean-field approximation (ref vi, src/vi.jl:50-81).
-
-    Returns Approx(m, v) and leaves the model untouched (hyperparameters
-    are held fixed, as in the reference)."""
+def make_neg_elbo(gp):
+    """Build the VI objective: (neg_elbo(theta), theta0, n) with
+    theta = [m; rho], v = exp(2 rho). Shared by vi() and the sharded
+    multi-restart driver (parallel/vi.py)."""
     pd, mu, diag_Kinv = _prior_pieces(gp)
     y, lik = gp.y, gp.params.lik
     n = mu.shape[0]
 
     # initialise at the prior: m = mu, V = diag(K) (ref initialise_Q)
-    m0 = mu
     v0 = jnp.maximum(gp.params.kernel.diag(gp.x), 1e-8)
-    theta0 = jnp.concatenate([m0, 0.5 * jnp.log(v0)])
+    theta0 = jnp.concatenate([mu, 0.5 * jnp.log(v0)])
 
     def neg_elbo(theta):
         m, rho = theta[:n], theta[n:]
@@ -99,6 +97,16 @@ def vi(gp, nits: int = 100, method: str = "lbfgs", lr: float = 0.05,
         )
         return -(0.5 * kl_terms + lik.var_exp(y, m, v))
 
+    return neg_elbo, theta0, n
+
+
+def vi(gp, nits: int = 100, method: str = "lbfgs", lr: float = 0.05,
+       verbose: bool = False) -> Approx:
+    """Fit the mean-field approximation (ref vi, src/vi.jl:50-81).
+
+    Returns Approx(m, v) and leaves the model untouched (hyperparameters
+    are held fixed, as in the reference)."""
+    neg_elbo, theta0, n = make_neg_elbo(gp)
     vg = jax.jit(jax.value_and_grad(neg_elbo))
 
     if method == "lbfgs":
