@@ -118,3 +118,35 @@ def test_f32_gpa_hmc_smoke():
     assert np.all(np.isfinite(np.asarray(res.samples)))
     p, _ = m.predict_y(X)
     assert np.all((np.asarray(p) >= 0) & (np.asarray(p) <= 1))
+
+
+# f64 goldens for the sparse quartet on the test_sparse fixture config
+# (N=1000, M=12, seed 1 — see tests/test_sparse.py GOLDEN_MLL_F64)
+SPARSE_GOLDEN_F64 = {
+    "sor": -492.5982425163,
+    "dtc": -492.5982425163,
+    "fitc": -492.5983466590,
+    "fsa": -492.5983604624,
+}
+
+
+def test_f32_sparse_mll_matches_f64_golden():
+    """f32-lane tier of the sparse golden pins (VERDICT r4 item 6)."""
+    rng = np.random.RandomState(1)
+    N, M = 1000, 12
+    x = (2 * np.pi * rng.rand(N)).astype(np.float32)
+    y = (np.sin(x) + 0.3 * rng.randn(N)).astype(np.float32)
+    inducing = np.linspace(0, 2 * np.pi, M).astype(np.float32)
+    kern = gp.SE(0.3, 0.1)
+    blocks = [list(range(i, min(i + 100, N))) for i in range(0, N, 100)]
+    models = {
+        "sor": gp.SoR(x, inducing, y, kernel=kern, lognoise=-0.6),
+        "dtc": gp.DTC(x, inducing, y, kernel=kern, lognoise=-0.6),
+        "fitc": gp.FITC(x, inducing, y, kernel=kern, lognoise=-0.6),
+        "fsa": gp.FSA(x, inducing, blocks, y, kernel=kern, lognoise=-0.6),
+    }
+    for name, m in models.items():
+        mll = float(m.mll)
+        assert np.isfinite(mll), name
+        # f32 keeps ~4 digits of the f64 golden at N=1000
+        assert mll == pytest.approx(SPARSE_GOLDEN_F64[name], abs=0.5), name
