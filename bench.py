@@ -260,9 +260,9 @@ def bench_cholesky(n=10000, reps=8, n_trials=4):
     }
 
 
-def bench_gpa_ess(n=200, d=5, chains=256, n_iter=600, warmup=100,
-                  eps=0.05, sampler="split", a_iters=4, eps_a=0.25,
-                  eps_b=0.05):
+def bench_gpa_ess(n=200, d=5, chains=128, n_iter=400, warmup=100,
+                  eps=0.05, sampler="split", a_iters=16, eps_a=0.06,
+                  eps_b=0.08):
     # Joint-sampler eps picked by on-chip sweep: 0.02 -> accept .96, med
     # 16 eff/s; 0.05 -> accept .72, med 40 eff/s; 0.08 diverges. Collective
     # dual-averaging adaptation (parallel/chains.sharded_hmc, r3) converges
@@ -299,6 +299,14 @@ def bench_gpa_ess(n=200, d=5, chains=256, n_iter=600, warmup=100,
     m = gp.GPA(X, y, gp.MeanZero(),
                gp.Matern(1.5, np.zeros(d, np.float32), np.float32(0.0)),
                gp.BernLik())
+    # Normal(0, 2) priors on all kernel hypers, matching the reference
+    # notebook config (ref notebooks/Classification.ipynb:
+    # set_priors!(gp.kernel, [Normal(0.0, 2.0) for i in 1:6])) — without
+    # them the unidentified ARD directions wander and R-hat never
+    # converges
+    from gaussianprocesses_jl_tpu.utils.priors import Normal as _N
+
+    m.set_priors(kern=[_N(0.0, 2.0)] * (d + 1))
 
     keys = jax.random.split(jax.random.PRNGKey(11), chains)
 
@@ -407,6 +415,118 @@ def bench_gpa_chains_scaling(chain_counts=(16, 64, 256, 1024)):
         json.dump(table, f, indent=1)
     print("# wrote gpa_chains_scaling.json", file=sys.stderr)
     return table
+
+
+def bench_student_t_1024(chains=1024, n_iter=400, warmup=200,
+                         ess_iters=300):
+    """BASELINE config #5 as specified: multi-chain HMC + ESS on
+    Student-t robust regression (ref notebooks "Regression with
+    outliers.ipynb", src/likelihoods/studentT.jl) at 1024 chains with
+    COLLECTIVE adaptation — parallel/chains.sharded_hmc's psum'd
+    dual-averaging step size and cross-chain mass-matrix estimation, and
+    sharded_ess with the fleet-pooled proposal diagnostic. On one chip
+    the mesh axis is size 1 (chains vmapped); the same code shards over
+    hosts (dryrun_multichip covers the multi-device path)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gaussianprocesses_jl_tpu as gp
+    from gaussianprocesses_jl_tpu.inference.diagnostics import (
+        effective_sample_size,
+        split_rhat,
+    )
+    from gaussianprocesses_jl_tpu.parallel.chains import (
+        sharded_hmc,
+        sharded_ess,
+    )
+    from gaussianprocesses_jl_tpu.parallel.mesh import make_mesh
+    from gaussianprocesses_jl_tpu.utils.priors import Normal as _N
+
+    # data exactly as examples/robust_regression.py (outliers every 8th)
+    rng = np.random.RandomState(1)
+    n = 60
+    x = np.sort(2 * np.pi * rng.rand(n)).astype(np.float32)
+    f = np.sin(x)
+    y = (f + 0.15 * rng.randn(n)).astype(np.float32)
+    y[::8] += rng.choice([-4.0, 4.0], size=len(y[::8])).astype(np.float32)
+
+    m = gp.GPA(x, y, gp.MeanZero(), gp.SE(0.0, 0.0),
+               gp.StuTLik(lsigma=jnp.asarray(-1.0, jnp.float32), nu=3))
+    m.set_priors(kern=[_N(0.0, 2.0)] * 2, lik=[_N(-1.0, 1.0)])
+    logprob, x0, _, _ = m.make_logprob()
+    D = x0.shape[0]
+
+    mesh = make_mesh({"chains": len(jax.devices())})
+    key = jax.random.PRNGKey(17)
+    starts = x0[None, :] + 0.05 * jax.random.normal(
+        key, (chains, D), dtype=x0.dtype)
+
+    total = warmup + n_iter
+    seg = max(25, min(total, int(40_000 / max(chains, 1))))
+
+    # warmup-compile one tiny run, then time the real one
+    r0 = sharded_hmc(logprob, starts, key, mesh, n_iter=1,
+                     n_warmup=seg - 1, eps0=0.02, segment_iters=seg)
+    _sync(r0.final_target)
+    t0 = time.perf_counter()
+    res = sharded_hmc(logprob, starts, jax.random.fold_in(key, 1), mesh,
+                      n_iter=n_iter, n_warmup=warmup, eps0=0.02,
+                      target_accept=0.8, segment_iters=seg)
+    _sync(res.final_target)
+    wall = time.perf_counter() - t0
+
+    post = np.asarray(res.samples)  # (C, n_iter, D)
+    ess = np.asarray(effective_sample_size(post))
+    rhat = np.asarray(split_rhat(post))
+
+    # sharded elliptical slice on the Gaussian-noise GPE counterpart
+    # (ess() is GPE-only — ref ess(gp::GPE), src/mcmc.jl:131)
+    mg = gp.GPE(x, y, kernel=gp.SE(0.0, 0.0), lognoise=-1.0)
+    mg.set_priors(noise=[_N(-1.0, 1.0)], kern=[_N(0.0, 2.0)] * 2)
+    loglik, xg0, _, _ = mg.make_logprob(include_priors=False)
+    prior_mu = jnp.asarray([-1.0, 0.0, 0.0], x0.dtype)
+    prior_sigma = jnp.asarray([1.0, 2.0, 2.0], x0.dtype)
+    keys_e = jax.random.fold_in(key, 2)
+    starts_e = xg0[None, :] + 0.05 * jax.random.normal(
+        keys_e, (chains, xg0.shape[0]), dtype=xg0.dtype)
+    re0 = sharded_ess(loglik, starts_e, prior_mu, prior_sigma, keys_e,
+                      mesh, n_iter=2)
+    _sync(re0.final_loglik)
+    t1 = time.perf_counter()
+    res_e = sharded_ess(loglik, starts_e, prior_mu, prior_sigma,
+                        jax.random.fold_in(keys_e, 1), mesh,
+                        n_iter=ess_iters)
+    _sync(res_e.final_loglik)
+    wall_e = time.perf_counter() - t1
+    post_e = np.asarray(res_e.samples)[:, ess_iters // 3:, :]
+    ess_e = np.asarray(effective_sample_size(post_e))
+
+    return {
+        "n_obs": n,
+        "dim_theta": int(D),
+        "chains": chains,
+        "hmc": {
+            "iters_post_warmup": n_iter,
+            "warmup": warmup,
+            "wall_s": round(wall, 3),
+            "accept_rate": round(
+                float(np.mean(np.asarray(res.accept_rate))), 3),
+            "eps_adapted": round(float(res.eps_final), 5),
+            "ess_min": round(float(ess.min()), 1),
+            "ess_median": round(float(np.median(ess)), 1),
+            "ess_per_sec_min": round(float(ess.min()) / wall, 1),
+            "ess_per_sec_median": round(float(np.median(ess)) / wall, 1),
+            "rhat_max": round(float(np.nanmax(rhat)), 4),
+        },
+        "ess_sampler": {
+            "iters": ess_iters,
+            "wall_s": round(wall_e, 3),
+            "mean_proposals": round(float(res_e.mean_proposals), 3),
+            "ess_median": round(float(np.median(ess_e)), 1),
+            "ess_per_sec_median": round(float(np.median(ess_e)) / wall_e,
+                                        1),
+        },
+    }
 
 
 def bench_kernel_micro():
@@ -610,6 +730,24 @@ def main():
     if scaling:
         bench_gpa_chains_scaling()
         final["done"] = True
+        return
+    if "--student-t" in sys.argv:
+        out = bench_student_t_1024()
+        # merge into the committed artifact (a committed measurement, too
+        # long for the driver's default window)
+        out["measured_at"] = _now_iso()
+        result["student_t_1024"] = out
+        final["done"] = True
+        detail = dict(prev)
+        detail["student_t_1024"] = out
+        detail["date"] = _now_iso()
+        with open("BENCH_DETAIL.json", "w") as fh:
+            json.dump(detail, fh, indent=1)
+        print(json.dumps({"metric": "student-t robust regression, 1024 "
+                          "chains, collective adaptation",
+                          "value": out["hmc"]["ess_per_sec_median"],
+                          "unit": "eff samples/s/chip (median)",
+                          "detail": out}))
         return
     if fitc_only:
         out = bench_fitc100k()

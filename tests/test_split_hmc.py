@@ -125,3 +125,30 @@ def test_split_hmc_rejects_bad_kernel_moves(gpa_model):
                        jax.random.PRNGKey(3), n_iter=20, a_iters=2,
                        eps_a=0.2, eps_b=0.05)
     assert np.all(np.isfinite(np.asarray(res.samples)))
+
+
+def test_mcmc_split_sampler_api(gpa_model):
+    """gp.mcmc(..., sampler='split') drives the split sampler end to end,
+    records n_iter * a_iters rows, and updates the model state."""
+    m = gpa_model
+    before = np.asarray(m.params.flat_params()).copy()
+    res = gp.mcmc(m, jax.random.PRNGKey(9), n_iter=30, a_iters=4,
+                  eps_a=0.2, eps_b=0.05, burn=20, sampler="split",
+                  verbose=False)
+    assert res.samples.shape == (30 * 4 - 20, before.shape[0])
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+    assert np.asarray(res.accept_rate).shape == (2,)
+    after = np.asarray(m.params.flat_params())
+    assert not np.allclose(before, after)  # model moved to the final state
+
+    res_c = gp.mcmc(m, jax.random.PRNGKey(10), n_iter=10, a_iters=2,
+                    chains=3, sampler="split", verbose=False)
+    assert res_c.samples.shape == (3, 20, before.shape[0])
+    assert np.asarray(res_c.accept_rate).shape == (3, 2)
+
+    with pytest.raises(TypeError, match="GPA"):
+        rng = np.random.RandomState(0)
+        mg = gp.GPE(rng.randn(8, 1), rng.randn(8), kernel=gp.SE(0.0, 0.0))
+        gp.mcmc(mg, sampler="split", verbose=False)
+    with pytest.raises(ValueError, match="flags"):
+        gp.mcmc(m, sampler="split", kern=False, verbose=False)
