@@ -302,8 +302,22 @@ GOLDEN_MLL_F64 = {
 }
 
 
-def test_sparse_mll_golden_pins(setup):
-    exact, models = setup
+def test_sparse_mll_golden_pins():
+    # fresh models (NOT the module fixture: test_sparse_optimize mutates
+    # the fixture's FITC hyperparameters) at the fixture's exact config
+    rng = np.random.RandomState(1)
+    x = 2 * np.pi * rng.rand(N)
+    y = np.sin(x) + 0.3 * rng.randn(N)
+    inducing = np.linspace(0, 2 * np.pi, M)
+    kern = gp.SE(0.3, 0.1)
+    blocks = [list(range(i, min(i + 100, N))) for i in range(0, N, 100)]
+    exact = gp.GPE(x, y, kernel=kern, lognoise=-0.6)
+    models = {
+        "sor": gp.SoR(x, inducing, y, kernel=kern, lognoise=-0.6),
+        "dtc": gp.DTC(x, inducing, y, kernel=kern, lognoise=-0.6),
+        "fitc": gp.FITC(x, inducing, y, kernel=kern, lognoise=-0.6),
+        "fsa": gp.FSA(x, inducing, blocks, y, kernel=kern, lognoise=-0.6),
+    }
     assert float(exact.mll) == pytest.approx(GOLDEN_MLL_F64["exact"],
                                              abs=1e-3)
     for name, m in models.items():
