@@ -30,19 +30,37 @@ def _autocorr(x):
     return jnp.where(ok, acov / safe, jnp.ones_like(acov))
 
 
-def effective_sample_size(samples):
+def effective_sample_size(samples, max_workspace_elems: int = 1 << 25):
     """ESS per dimension.
 
     samples: (n_draws, D) single chain or (C, n_draws, D) multi-chain
     (chains pooled by averaging autocorrelations, as in Stan).
-    Returns (D,) effective sample sizes."""
+    Returns (D,) effective sample sizes.
+
+    The FFT autocorrelation needs a (C, D, 2n) complex workspace, which
+    OOMs HBM for long many-chain runs (observed: 16 GB at C=128,
+    n=38400, D=206); dimensions are processed in sequential chunks sized
+    so the workspace stays under `max_workspace_elems` complex entries
+    (default ~256 MB of complex64)."""
     samples = jnp.asarray(samples)
     if samples.ndim == 2:
         samples = samples[None]
     C, n, D = samples.shape
 
-    rho = jax.vmap(jax.vmap(_autocorr, in_axes=1, out_axes=1))(samples)
-    rho = jnp.mean(rho, axis=0)  # (n, D) chain-averaged
+    def rho_chunk(chunk):  # (C, n, Dc) -> chain-averaged (n, Dc)
+        r = jax.vmap(jax.vmap(_autocorr, in_axes=1, out_axes=1))(chunk)
+        return jnp.mean(r, axis=0)
+
+    chunk = max(1, min(D, int(max_workspace_elems) // max(1, C * 2 * n)))
+    if chunk >= D:
+        rho = rho_chunk(samples)  # (n, D)
+    else:
+        pad = (-D) % chunk
+        sp = jnp.pad(samples, ((0, 0), (0, 0), (0, pad)))
+        sp = jnp.moveaxis(
+            sp.reshape(C, n, -1, chunk), 2, 0)  # (nc, C, n, chunk)
+        rho = jax.lax.map(rho_chunk, sp)  # (nc, n, chunk) sequential
+        rho = jnp.moveaxis(rho, 0, 1).reshape(n, -1)[:, :D]
 
     # Geyer: sum consecutive pairs while they stay positive
     n_pairs = n // 2

@@ -102,3 +102,16 @@ def test_ess_stuck_chain_is_conservative_not_nan():
     e_stuck = np.asarray(effective_sample_size(jnp.asarray(stuck)))
     assert np.all(np.isfinite(e_stuck))
     assert np.all(e_stuck < e_good)
+
+
+def test_ess_chunked_matches_unchunked():
+    """The bounded-workspace chunked path (OOM guard for long many-chain
+    runs) must agree with the all-at-once computation exactly."""
+    rng = np.random.RandomState(4)
+    x = np.cumsum(rng.randn(3, 80, 7), axis=1) * 0.1 + rng.randn(3, 80, 7)
+    full = np.asarray(effective_sample_size(x))
+    chunked = np.asarray(effective_sample_size(x, max_workspace_elems=600))
+    assert np.allclose(full, chunked, rtol=1e-12)
+    # chunk size that does not divide D exercises the padding branch
+    chunked2 = np.asarray(effective_sample_size(x, max_workspace_elems=960))
+    assert np.allclose(full, chunked2, rtol=1e-12)
