@@ -47,24 +47,27 @@ class SplitHMCResult:
     accept_rate_b: jnp.ndarray  # ()
     final: jnp.ndarray  # (Da + Db,)
     final_target: jnp.ndarray  # () joint target at the final state
+    eps_a_final: jnp.ndarray  # () adapted (or given) block step sizes
+    eps_b_final: jnp.ndarray  # ()
 
 
 jax.tree_util.register_dataclass(
     SplitHMCResult,
     data_fields=["samples", "accept_rate_a", "accept_rate_b", "final",
-                 "final_target"],
+                 "final_target", "eps_a_final", "eps_b_final"],
     meta_fields=[],
 )
 
 
 @partial(jax.jit, static_argnames=("precompute", "logprob_a", "logprob_b",
                                    "n_iter", "a_iters", "Lmin", "Lmax",
-                                   "Lmin_b", "Lmax_b"))
+                                   "Lmin_b", "Lmax_b", "n_warmup"))
 def split_hmc(precompute: Callable, logprob_a: Callable,
               logprob_b: Callable, a0, b0, key, n_iter: int = 1000,
               a_iters: int = 4, eps_a: float = 0.2, eps_b: float = 0.05,
               Lmin: int = 5, Lmax: int = 15, Lmin_b: int | None = None,
-              Lmax_b: int | None = None) -> SplitHMCResult:
+              Lmax_b: int | None = None, n_warmup: int = 0,
+              target_accept: float = 0.8) -> SplitHMCResult:
     """Alternate `a_iters` HMC updates of block A (conditional target
     `logprob_a(a, aux, b)` with `aux = precompute(b)` cached across the
     whole A sweep) with one HMC update of block B (`logprob_b(b, a)`,
@@ -73,16 +76,43 @@ def split_hmc(precompute: Callable, logprob_a: Callable,
     Both logprobs must return the FULL joint log target (constants shared,
     so recorded targets are comparable across blocks). Records one draw
     per A-update: (a_i, b_current) is a valid joint sample after every
-    sub-update. Non-finite targets reject as in `hmc`."""
+    sub-update. Non-finite targets reject as in `hmc`.
+
+    n_warmup > 0 turns on PER-BLOCK dual-averaging step-size adaptation
+    (Hoffman & Gelman 2014, Alg. 5) for the first n_warmup outer
+    iterations: eps_a adapts on the mean accept probability of the A
+    sweep, eps_b on the B update's, both toward `target_accept`, starting
+    from the given eps_a/eps_b. Warmup draws are INCLUDED in `samples`
+    (discard the first n_warmup * a_iters rows). After warmup both step
+    sizes freeze at their averaged values (returned in eps_a_final /
+    eps_b_final)."""
     a0, b0 = jnp.asarray(a0), jnp.asarray(b0)
     Lmin_b = Lmin if Lmin_b is None else Lmin_b
     Lmax_b = Lmax if Lmax_b is None else Lmax_b
-    eps_a = jnp.asarray(eps_a, dtype=a0.dtype)
-    eps_b = jnp.asarray(eps_b, dtype=b0.dtype)
+    dt = a0.dtype
+    eps_a0 = jnp.asarray(eps_a, dtype=dt)
+    eps_b0 = jnp.asarray(eps_b, dtype=dt)
+    gamma, t0c, kappa = 0.05, 10.0, 0.75
 
-    def one_outer(carry, key):
-        a, b, acc_a, acc_b = carry
+    def da_update(a_mean, st):
+        """One dual-averaging step; st = (eps, mu, log_eps_bar, hbar, t)."""
+        eps, mu, leb, hbar, t = st
+        t = t + 1.0
+        hbar = ((1.0 - 1.0 / (t + t0c)) * hbar
+                + (target_accept - a_mean) / (t + t0c))
+        log_eps = mu - jnp.sqrt(t) / gamma * hbar
+        w = t ** (-kappa)
+        leb = w * log_eps + (1.0 - w) * leb
+        return (jnp.exp(log_eps), mu, leb, hbar, t)
+
+    def one_outer(carry, it_key):
+        it, key = it_key
+        a, b, acc_a, acc_b, st_a, st_b = carry
         k_a, k_b = jax.random.split(key)
+        in_warm = it < n_warmup
+        # during warmup use the exploring eps; after, the averaged one
+        eps_a_c = jnp.where(in_warm, st_a[0], jnp.exp(st_a[2]))
+        eps_b_c = jnp.where(in_warm, st_b[0], jnp.exp(st_b[2]))
 
         # --- A sweep against the cached factor -------------------------
         aux = precompute(b)
@@ -91,14 +121,14 @@ def split_hmc(precompute: Callable, logprob_a: Callable,
         g_a = jnp.where(jnp.isfinite(g_a), g_a, 0.0)
 
         def a_step(c, k):
-            a_, t_, g_, acc_ = c
-            a_, t_, g_, _, accd = hmc_iteration(vg_a, a_, t_, g_, k,
-                                                eps_a, Lmin, Lmax)
-            return (a_, t_, g_, acc_ + accd), a_
+            a_, t_, g_, acc_, ap_ = c
+            a_, t_, g_, aprob, accd = hmc_iteration(vg_a, a_, t_, g_, k,
+                                                    eps_a_c, Lmin, Lmax)
+            return (a_, t_, g_, acc_ + accd, ap_ + aprob), a_
 
         keys_a = jax.random.split(k_a, a_iters)
-        (a, _, _, acc_a), a_draws = jax.lax.scan(
-            a_step, (a, t_a, g_a, acc_a), keys_a)
+        (a, _, _, acc_a, ap_sum), a_draws = jax.lax.scan(
+            a_step, (a, t_a, g_a, acc_a, jnp.zeros((), dt)), keys_a)
 
         # each recorded draw pairs a_i with the CURRENT b (a valid joint
         # state after every sub-update)
@@ -109,19 +139,38 @@ def split_hmc(precompute: Callable, logprob_a: Callable,
         vg_b = jax.value_and_grad(lambda b_: logprob_b(b_, a))
         t_b, g_b = vg_b(b)
         g_b = jnp.where(jnp.isfinite(g_b), g_b, 0.0)
-        b, t_b, g_b, _, accd_b = hmc_iteration(vg_b, b, t_b, g_b, k_b,
-                                               eps_b, Lmin_b, Lmax_b)
-        return (a, b, acc_a, acc_b + accd_b), (draws, t_b)
+        b, t_b, g_b, aprob_b, accd_b = hmc_iteration(
+            vg_b, b, t_b, g_b, k_b, eps_b_c, Lmin_b, Lmax_b)
+
+        if n_warmup > 0:
+            st_a_n = da_update(ap_sum / a_iters, st_a)
+            st_b_n = da_update(aprob_b, st_b)
+            st_a = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(in_warm, new, old), st_a_n, st_a)
+            st_b = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(in_warm, new, old), st_b_n, st_b)
+        return ((a, b, acc_a, acc_b + accd_b, st_a, st_b),
+                (draws, t_b))
+
+    def da_init(eps0):
+        return (eps0, jnp.log(10.0 * eps0), jnp.log(eps0),
+                jnp.zeros((), dt), jnp.zeros((), dt))
 
     keys = jax.random.split(key, n_iter)
-    (a_f, b_f, acc_a, acc_b), (chunks, t_traj) = jax.lax.scan(
-        one_outer, (a0, b0, jnp.zeros((), jnp.int32),
-                    jnp.zeros((), jnp.int32)), keys)
+    its = jnp.arange(n_iter)
+    (a_f, b_f, acc_a, acc_b, st_a, st_b), (chunks, t_traj) = jax.lax.scan(
+        one_outer,
+        (a0, b0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+         da_init(eps_a0), da_init(eps_b0)), (its, keys))
     samples = chunks.reshape(n_iter * a_iters, -1)
+    eps_a_f = jnp.exp(st_a[2]) if n_warmup > 0 else eps_a0
+    eps_b_f = jnp.exp(st_b[2]) if n_warmup > 0 else eps_b0
     return SplitHMCResult(
         samples=samples,
         accept_rate_a=acc_a / (n_iter * a_iters),
         accept_rate_b=acc_b / n_iter,
         final=jnp.concatenate([a_f, b_f]),
         final_target=t_traj[-1],
+        eps_a_final=eps_a_f,
+        eps_b_final=eps_b_f,
     )

@@ -152,3 +152,29 @@ def test_mcmc_split_sampler_api(gpa_model):
         gp.mcmc(mg, sampler="split", verbose=False)
     with pytest.raises(ValueError, match="flags"):
         gp.mcmc(m, sampler="split", kern=False, verbose=False)
+
+
+def test_split_hmc_dual_averaging_adapts(gpa_model):
+    """Per-block dual-averaging warmup: starting from a deliberately bad
+    eps_a (too large -> near-zero acceptance), the adapted sampler must
+    recover acceptance near the target after warmup, and the adapted step
+    sizes must differ per block."""
+    m = gpa_model
+    precompute, lp_a, lp_b, a0, b0 = m.make_split_logprob()
+    res = gp.split_hmc(precompute, lp_a, lp_b, a0, b0,
+                       jax.random.PRNGKey(6), n_iter=300, a_iters=2,
+                       eps_a=1.5, eps_b=0.5, n_warmup=150,
+                       target_accept=0.8)
+    ea, eb = float(res.eps_a_final), float(res.eps_b_final)
+    assert 1e-4 < ea < 1.5 and 1e-4 < eb < 0.5, (ea, eb)
+    # post-warmup acceptance near the target: re-run at the adapted eps
+    res2 = gp.split_hmc(precompute, lp_a, lp_b, a0, b0,
+                        jax.random.PRNGKey(7), n_iter=200, a_iters=2,
+                        eps_a=ea, eps_b=eb)
+    assert 0.55 < float(res2.accept_rate_a) <= 1.0, float(res2.accept_rate_a)
+    assert 0.55 < float(res2.accept_rate_b) <= 1.0, float(res2.accept_rate_b)
+    # without warmup the bad eps really is bad (sanity of the premise)
+    res3 = gp.split_hmc(precompute, lp_a, lp_b, a0, b0,
+                        jax.random.PRNGKey(8), n_iter=100, a_iters=2,
+                        eps_a=1.5, eps_b=0.5)
+    assert float(res3.accept_rate_a) < 0.3
