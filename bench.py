@@ -369,10 +369,19 @@ def bench_gpa_ess(n=200, d=5, chains=128, n_iter=400, warmup=100,
     wall = time.perf_counter() - t0
 
     post = samples[:, warmup * draws_per_iter:, :]  # (C, n_kept, D)
-    ess = np.asarray(effective_sample_size(post))
     from gaussianprocesses_jl_tpu.inference.diagnostics import split_rhat
 
-    rhat = np.asarray(split_rhat(post))
+    if post.size > 500_000_000:
+        # the draws alone approach HBM capacity at 1024 chains x 16
+        # draws/iter; run the diagnostics on the host CPU backend
+        post = np.asarray(post)
+        del samples
+        with jax.default_device(jax.devices("cpu")[0]):
+            ess = np.asarray(effective_sample_size(post))
+            rhat = np.asarray(split_rhat(post))
+    else:
+        ess = np.asarray(effective_sample_size(post))
+        rhat = np.asarray(split_rhat(post))
     out = {
         "n_obs": n,
         "dim_theta": int(D),
@@ -411,8 +420,10 @@ def bench_gpa_chains_scaling(chain_counts=(16, 64, 256, 1024)):
               f"eff/s/chip ({r['ess_per_sec_min']} min), wall "
               f"{r['wall_s']} s, accept={r['accept_rate']}",
               file=sys.stderr)
-    with open("gpa_chains_scaling.json", "w") as f:
-        json.dump(table, f, indent=1)
+        # write after EVERY count: a late-count crash must not discard
+        # the measured rows (r4: the 1024-row OOM lost a 20-minute run)
+        with open("gpa_chains_scaling.json", "w") as f:
+            json.dump(table, f, indent=1)
     print("# wrote gpa_chains_scaling.json", file=sys.stderr)
     return table
 

@@ -39,8 +39,8 @@ from ..inference.ess import ess
 from ..inference.hmc import hmc_iteration
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 
-__all__ = ["sharded_hmc", "ShardedHMCResult", "sharded_ess",
-           "ShardedESSResult"]
+__all__ = ["sharded_hmc", "ShardedHMCResult", "sharded_split_hmc",
+           "ShardedSplitHMCResult", "sharded_ess", "ShardedESSResult"]
 
 
 @dataclass
@@ -240,6 +240,181 @@ def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
     return ShardedHMCResult(samples=kept, accept_rate=acc / n_iter,
                             eps_final=eps, minv_final=minv[0],
                             final=theta_f, final_target=tgt_f)
+
+
+@dataclass
+class ShardedSplitHMCResult:
+    samples: jnp.ndarray  # (C, n_iter * a_iters, Da + Db)
+    accept_rate_a: jnp.ndarray  # (C,)
+    accept_rate_b: jnp.ndarray  # (C,)
+    eps_a_final: jnp.ndarray  # () shared adapted step sizes
+    eps_b_final: jnp.ndarray  # ()
+    final: jnp.ndarray  # (C, Da + Db)
+    final_target: jnp.ndarray  # (C,)
+
+
+jax.tree_util.register_dataclass(
+    ShardedSplitHMCResult,
+    data_fields=["samples", "accept_rate_a", "accept_rate_b",
+                 "eps_a_final", "eps_b_final", "final", "final_target"],
+    meta_fields=[],
+)
+
+
+def sharded_split_hmc(precompute, logprob_a, logprob_b, theta0, key,
+                      mesh: Mesh, na: int, *, axis: str = "chains",
+                      n_iter: int = 1000, a_iters: int = 8,
+                      n_warmup: int = 0, eps_a0: float = 0.2,
+                      eps_b0: float = 0.05, Lmin: int = 5, Lmax: int = 15,
+                      target_accept: float = 0.8,
+                      segment_iters: int | None = None
+                      ) -> ShardedSplitHMCResult:
+    """Chain-sharded factor-cached split-block HMC with COLLECTIVE
+    per-block step-size adaptation — the composition of
+    inference/split.py's sampler (a_iters cheap [v; lik; mean] updates
+    against a cached factor per kernel-block refactorization; ~10x the
+    joint sampler's ESS/sec, perf/README.md 5b) with this module's
+    psum'd dual averaging: during the first `n_warmup` outer iterations
+    eps_a adapts on the fleet-mean accept probability of the A sweeps
+    and eps_b on the B updates', each toward `target_accept`, shared by
+    every chain on every device.
+
+    theta0: (C, na + nb) initial states ([a; b] per chain), C divisible
+    by the axis size. Draws are recorded per A-update (n_iter * a_iters
+    rows per chain; the first n_warmup * a_iters rows are warmup).
+    segment_iters bounds single device executions as in sharded_hmc."""
+    C, D = theta0.shape
+    n_dev = mesh.shape[axis]
+    if C % n_dev:
+        raise ValueError(f"{C} chains not divisible by {n_dev} devices")
+    total = n_warmup + n_iter
+    dt = theta0.dtype
+    gamma, t0c, kappa = 0.05, 10.0, 0.75
+
+    def da_update(a_mean, st):
+        eps, mu, leb, hbar, t = st
+        t = t + 1.0
+        hbar = ((1.0 - 1.0 / (t + t0c)) * hbar
+                + (target_accept - a_mean) / (t + t0c))
+        log_eps = mu - jnp.sqrt(t) / gamma * hbar
+        w = t ** (-kappa)
+        leb = w * log_eps + (1.0 - w) * leb
+        return (jnp.exp(log_eps), mu, leb, hbar, t)
+
+    def da_init(eps0):
+        e = jnp.asarray(eps0, dt)
+        return (e, jnp.log(10.0 * e), jnp.log(e), jnp.zeros((), dt),
+                jnp.zeros((), dt))
+
+    def one_iter(carry, it):
+        a, b, keys, acc_a, acc_b, st_a, st_b = carry
+        c = a.shape[0]
+        keys = jax.vmap(jax.random.fold_in)(keys, jnp.full((c,), it))
+        in_warm = it < n_warmup
+        eps_a = jnp.where(in_warm, st_a[0], jnp.exp(st_a[2]))
+        eps_b = jnp.where(in_warm, st_b[0], jnp.exp(st_b[2]))
+
+        # --- A sweeps against per-chain cached factors ------------------
+        aux = jax.vmap(precompute)(b)
+
+        def chain_a_sweep(a_i, b_i, aux_i, k_i):
+            vg = jax.value_and_grad(
+                lambda x: logprob_a(x, aux_i, b_i))
+            t_i, g_i = vg(a_i)
+            g_i = jnp.where(jnp.isfinite(g_i), g_i, 0.0)
+
+            def step(cst, k):
+                a_, t_, g_, acc_, ap_ = cst
+                a_, t_, g_, aprob, accd = hmc_iteration(
+                    vg, a_, t_, g_, k, eps_a, Lmin, Lmax)
+                return (a_, t_, g_, acc_ + accd, ap_ + aprob), a_
+
+            ks = jax.random.split(k_i, a_iters + 1)
+            (a_i, _, _, accs, apsum), draws = jax.lax.scan(
+                step, (a_i, t_i, g_i, jnp.zeros((), jnp.int32),
+                       jnp.zeros((), dt)), ks[1:])
+            return a_i, draws, accs, apsum / a_iters, ks[0]
+
+        a, a_draws, accs_a, ap_a, keys_b = jax.vmap(chain_a_sweep)(
+            a, b, aux, keys)
+
+        # --- B updates (refactorize per leapfrog step) ------------------
+        def chain_b(b_i, a_i, k_i):
+            vg = jax.value_and_grad(lambda x: logprob_b(x, a_i))
+            t_i, g_i = vg(b_i)
+            g_i = jnp.where(jnp.isfinite(g_i), g_i, 0.0)
+            return hmc_iteration(vg, b_i, t_i, g_i, k_i, eps_b, Lmin,
+                                 Lmax)
+
+        b, t_b, _, ap_b, acc_b_d = jax.vmap(chain_b)(b, a, keys_b)
+
+        # --- collective per-block dual averaging ------------------------
+        n_tot = jax.lax.psum(jnp.asarray(c, dt), axis)
+        ap_a_mean = jax.lax.psum(jnp.sum(ap_a), axis) / n_tot
+        ap_b_mean = jax.lax.psum(jnp.sum(ap_b), axis) / n_tot
+        st_a_n = da_update(ap_a_mean, st_a)
+        st_b_n = da_update(ap_b_mean, st_b)
+        st_a = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(in_warm, new, old), st_a_n, st_a)
+        st_b = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(in_warm, new, old), st_b_n, st_b)
+
+        acc_a = acc_a + accs_a
+        acc_b = acc_b + acc_b_d.astype(acc_b.dtype)
+        # draws: (c, a_iters, Da) + current b -> (a_iters, c, Da+Db)
+        chunk = jnp.concatenate(
+            [a_draws, jnp.broadcast_to(b[:, None, :],
+                                       (c, a_iters, D - na))], axis=-1)
+        out = (jnp.moveaxis(chunk, 1, 0), t_b)
+        return (a, b, keys, acc_a, acc_b, st_a, st_b), out
+
+    def local_init(theta_loc, keys_loc):
+        c = theta_loc.shape[0]
+        # the (1, ...) singletons let the replicated adaptation tuples
+        # round-trip through shard_map out_specs (same trick as
+        # sharded_hmc's local_init)
+        return (theta_loc[:, :na], theta_loc[:, na:], keys_loc,
+                jnp.zeros((c,), jnp.int32), jnp.zeros((c,), jnp.int32),
+                da_init(eps_a0), da_init(eps_b0))
+
+    def local_segment(carry, its):
+        return jax.lax.scan(one_iter, carry, its)
+
+    da_specs = (P(), P(), P(), P(), P())
+    carry_specs = (P(axis), P(axis), P(axis), P(axis), P(axis),
+                   da_specs, da_specs)
+    init_fn = jax.jit(shard_map(
+        local_init, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=carry_specs, check_vma=False))
+    seg_fn = jax.jit(shard_map(
+        local_segment, mesh=mesh, in_specs=(carry_specs, P()),
+        out_specs=(carry_specs, (P(None, None, axis), P(None, axis))),
+        check_vma=False))
+
+    keys = jax.random.split(key, C)
+    carry = init_fn(theta0, keys)
+    seg = segment_iters if segment_iters is not None else total
+    chunks, t_last = [], None
+    it_done = 0
+    while it_done < total:
+        n_step = min(seg, total - it_done)
+        its = jnp.arange(it_done, it_done + n_step)
+        carry, (chunk, t_b) = seg_fn(carry, its)
+        chunks.append(chunk.reshape(-1, C, D))  # (n_step*a_iters, C, D)
+        t_last = t_b[-1]
+        it_done += n_step
+
+    samples = jnp.moveaxis(jnp.concatenate(chunks, axis=0), 0, 1)
+    a_f, b_f, _, acc_a, acc_b, st_a, st_b = carry
+    return ShardedSplitHMCResult(
+        samples=samples,
+        accept_rate_a=acc_a / (total * a_iters),
+        accept_rate_b=acc_b / total,
+        eps_a_final=jnp.exp(st_a[2]),
+        eps_b_final=jnp.exp(st_b[2]),
+        final=jnp.concatenate([a_f, b_f], axis=1),
+        final_target=t_last,
+    )
 
 
 @dataclass
