@@ -26,8 +26,11 @@ def main(n_iter=1000):
     m = gp.GPA(X, y, gp.MeanZero(), kern, gp.BernLik())
     m.set_priors(kern=[Normal(0.0, 2.0)] * (d + 1))
 
-    res = gp.mcmc(m, jax.random.PRNGKey(0), n_iter=n_iter, eps=0.03,
-                  burn=n_iter // 5)
+    # factor-cached split-block sampler (~10x the joint sampler's ESS/sec
+    # on this config — perf/README.md 5b), per-block step sizes
+    res = gp.mcmc(m, jax.random.PRNGKey(0), n_iter=n_iter // 4, a_iters=8,
+                  eps_a=0.06, eps_b=0.06, sampler="split",
+                  burn=(n_iter // 4) * 8 // 5)
     p, _ = m.predict_y(X)
     acc = float(np.mean((np.asarray(p) > 0.5) == (y > 0.5)))
     print(f"train accuracy: {acc:.3f}  (posterior draws: "
