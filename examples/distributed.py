@@ -148,12 +148,70 @@ def distributed_gpa():
           f"50 HMC iters accept={float(res.accept_rate):.2f}")
 
 
+def chains_x_j():
+    """The 2-D composition: sharded HMC OVER the distributed dense
+    target on a ('chains', 'j') pod mesh — chain groups on the outer
+    (DCN) axis, each factorizing its tile-columns on the inner (ICI)
+    axis via the ambient-axis covariance strategy."""
+    from gaussianprocesses_jl_tpu.parallel.dense import (
+        AmbientFullCovariance,
+    )
+    from gaussianprocesses_jl_tpu.parallel.mesh import make_pod_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        print("[chains x j] skipped (needs >= 2 devices)")
+        return
+    pj = min(4, n_dev)
+    pod = make_pod_mesh({"j": pj})
+    n = 8 * pj
+    rng = np.random.RandomState(7)
+    X = rng.randn(n, 2)
+    y = np.sin(X[:, 0]) + 0.3 * rng.randn(n)
+    m = gp.GPE(X, y, kernel=gp.SE(0.0, 0.0), lognoise=-1.0,
+               covstrat=AmbientFullCovariance(axis="j", P_=pj, B=4))
+    logprob, x0, _, _ = m.make_logprob()
+    C = 2 * pod.shape["chains"]
+    th = jnp.tile(x0[None, :], (C, 1))
+    res = sharded_hmc(logprob, th, jax.random.PRNGKey(8), pod,
+                      n_iter=30, n_warmup=10, eps0=0.05)
+    print(f"[chains x j/{pod.shape}] {C} chains over a distributed "
+          f"dense GP: accept={float(jnp.mean(res.accept_rate)):.2f}, "
+          f"eps*={float(res.eps_final):.4f}")
+
+
+def sharded_split():
+    """Chain-sharded factor-cached split sampler with collective
+    per-block adaptation (the 10x GPA sampler at mesh scale)."""
+    from gaussianprocesses_jl_tpu.parallel.chains import sharded_split_hmc
+
+    P = len(jax.devices())
+    rng = np.random.RandomState(9)
+    n, d = 24, 2
+    X = rng.randn(n, d)
+    y = (np.sin(X[:, 0]) + 0.3 * rng.randn(n) > 0).astype(float)
+    m = gp.GPA(X, y, gp.MeanZero(), gp.SE(0.0, 0.0), gp.BernLik())
+    pc, la, lb, a0, b0 = m.make_split_logprob()
+    mesh = make_mesh({"chains": P})
+    C = 2 * P
+    th = jnp.tile(jnp.concatenate([a0, b0])[None, :], (C, 1))
+    res = sharded_split_hmc(pc, la, lb, th, jax.random.PRNGKey(10), mesh,
+                            a0.shape[0], n_iter=40, a_iters=4,
+                            n_warmup=20, eps_a0=0.3, eps_b0=0.1)
+    print(f"[split/{P}-mesh] {C} chains: accept_a="
+          f"{float(jnp.mean(res.accept_rate_a)):.2f}, accept_b="
+          f"{float(jnp.mean(res.accept_rate_b)):.2f}, adapted eps=("
+          f"{float(res.eps_a_final):.3f}, {float(res.eps_b_final):.3f})")
+
+
 def main():
     print(f"devices: {len(jax.devices())} x {jax.default_backend()}")
     distributed_dense()
     sharded_chains()
     sharded_fitc()
     distributed_gpa()
+    chains_x_j()
+    sharded_split()
 
 
 if __name__ == "__main__":
