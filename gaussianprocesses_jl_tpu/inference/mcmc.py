@@ -49,7 +49,7 @@ def mcmc(gp, key=None, n_iter: int = 1000, burn: int = 0, thin: int = 1,
          chains: int | None = None, verbose: bool = True,
          sampler: str = "joint", a_iters: int = 8,
          eps_a: float | None = None, eps_b: float | None = None,
-         **flag_kwargs) -> MCMCResult:
+         n_warmup: int = 0, **flag_kwargs) -> MCMCResult:
     """HMC over the model's sampled parameter vector (ref mcmc,
     src/mcmc.jl:7-84): GPE -> [logNoise; mean; kernel], GPA ->
     [v; lik; mean; kernel]. Block flags (noise/lik/domean/kern) select
@@ -58,11 +58,13 @@ def mcmc(gp, key=None, n_iter: int = 1000, burn: int = 0, thin: int = 1,
     sampler="split" (GPA only): factor-cached Metropolis-within-Gibbs
     (inference/split.py) — `a_iters` updates of [v; lik; mean] against
     the cached Cholesky factor per kernel-block update, with per-block
-    step sizes eps_a (default eps) / eps_b (default eps). ~10x the
-    joint sampler's ESS/sec on classification-sized problems (see
-    perf/README.md §5b). All parameter blocks are sampled (block flags
-    are not supported with the split sampler). Draws are recorded per
-    A-update, so `n_iter` outer iterations yield n_iter * a_iters rows."""
+    step sizes eps_a (default eps) / eps_b (default eps), optionally
+    adapted by per-block dual averaging over the first `n_warmup` outer
+    iterations. ~10x the joint sampler's ESS/sec on classification-sized
+    problems (see perf/README.md §5b). All parameter blocks are sampled
+    (block flags are not supported with the split sampler). Draws are
+    recorded per A-update, so `n_iter` outer iterations yield
+    n_iter * a_iters rows (warmup draws included — burn them)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     if sampler == "split":
         return _mcmc_split(gp, key, n_iter=n_iter, burn=burn, thin=thin,
@@ -70,7 +72,8 @@ def mcmc(gp, key=None, n_iter: int = 1000, burn: int = 0, thin: int = 1,
                            eps_a=eps if eps_a is None else eps_a,
                            eps_b=eps if eps_b is None else eps_b,
                            Lmin=Lmin, Lmax=Lmax, chains=chains,
-                           verbose=verbose, flag_kwargs=flag_kwargs)
+                           verbose=verbose, flag_kwargs=flag_kwargs,
+                           n_warmup=n_warmup)
     if sampler != "joint":
         raise ValueError(f"unknown sampler {sampler!r} "
                          "(expected 'joint' or 'split')")
@@ -113,7 +116,7 @@ def mcmc(gp, key=None, n_iter: int = 1000, burn: int = 0, thin: int = 1,
 
 
 def _mcmc_split(gp, key, *, n_iter, burn, thin, a_iters, eps_a, eps_b,
-                Lmin, Lmax, chains, verbose, flag_kwargs):
+                Lmin, Lmax, chains, verbose, flag_kwargs, n_warmup=0):
     from ..models.gpa import GPA as _GPA
     from .split import split_hmc as _split_kernel
 
@@ -129,7 +132,8 @@ def _mcmc_split(gp, key, *, n_iter, burn, thin, a_iters, eps_a, eps_b,
     if chains is None:
         res = _split_kernel(precompute, lp_a, lp_b, a0, b0, key,
                             n_iter=n_iter, a_iters=a_iters, eps_a=eps_a,
-                            eps_b=eps_b, Lmin=Lmin, Lmax=Lmax)
+                            eps_b=eps_b, Lmin=Lmin, Lmax=Lmax,
+                            n_warmup=n_warmup)
         samples = res.samples[burn::thin]
         gp.set_params(res.final)
         accept = jnp.stack([res.accept_rate_a, res.accept_rate_b])
@@ -145,7 +149,7 @@ def _mcmc_split(gp, key, *, n_iter, burn, thin, a_iters, eps_a, eps_b,
             lambda th, k: _split_kernel(
                 precompute, lp_a, lp_b, th[:na], th[na:], k,
                 n_iter=n_iter, a_iters=a_iters, eps_a=eps_a, eps_b=eps_b,
-                Lmin=Lmin, Lmax=Lmax))
+                Lmin=Lmin, Lmax=Lmax, n_warmup=n_warmup))
         res = run(x0s, keys[1:])
         samples = res.samples[:, burn::thin]
         best = int(jnp.argmax(res.final_target))

@@ -178,3 +178,13 @@ def test_split_hmc_dual_averaging_adapts(gpa_model):
                         jax.random.PRNGKey(8), n_iter=100, a_iters=2,
                         eps_a=1.5, eps_b=0.5)
     assert float(res3.accept_rate_a) < 0.3
+
+
+def test_mcmc_split_warmup_plumbs_through(gpa_model):
+    res = gp.mcmc(gpa_model, jax.random.PRNGKey(11), n_iter=40, a_iters=2,
+                  eps_a=1.0, eps_b=0.3, n_warmup=20, burn=40,
+                  sampler="split", verbose=False)
+    assert res.samples.shape[0] == 40 * 2 - 40
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+    # the bad starting eps was adapted away: draws actually move
+    assert np.asarray(res.samples).std(axis=0).max() > 0
