@@ -121,7 +121,7 @@ _BLOCKED_CHOL_MIN_N = 6000
 
 
 def blocked_cholesky(K: jnp.ndarray, block: int = 512,
-                     precision=None) -> tuple:
+                     precision=None, panel_solve_precision=None) -> tuple:
     """Left-looking blocked Cholesky with fused log-det: (L, logdet).
 
     Panels are factorized by `jnp.linalg.cholesky` and solved via their
@@ -135,6 +135,8 @@ def blocked_cholesky(K: jnp.ndarray, block: int = 512,
     padding 10000 -> 10240 cost ~7% wasted FLOPs plus pad assembly on the
     shipped n=10k benchmark shape (VERDICT r2)."""
     precision = _BLOCKED_CHOL_PRECISION if precision is None else precision
+    psp = (jax.lax.Precision.HIGHEST if panel_solve_precision is None
+           else panel_solve_precision)
     n = K.shape[-1]
     B = block
     if n <= B:
@@ -157,7 +159,7 @@ def blocked_cholesky(K: jnp.ndarray, block: int = 512,
         lkk = jnp.linalg.cholesky(Acol[:bk, :bk])
         if k + 1 < nb:
             linvT = tri_inv_lower(lkk).T
-            Lpan = jnp.matmul(Acol[bk:, :], linvT, precision=_HIGH)
+            Lpan = jnp.matmul(Acol[bk:, :], linvT, precision=psp)
             cols.append(jnp.concatenate([jnp.tril(lkk), Lpan], axis=0))
         else:
             cols.append(jnp.tril(lkk))
