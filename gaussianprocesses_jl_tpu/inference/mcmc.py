@@ -59,12 +59,15 @@ def mcmc(gp, key=None, n_iter: int = 1000, burn: int = 0, thin: int = 1,
     (inference/split.py) — `a_iters` updates of [v; lik; mean] against
     the cached Cholesky factor per kernel-block update, with per-block
     step sizes eps_a (default eps) / eps_b (default eps), optionally
-    adapted by per-block dual averaging over the first `n_warmup` outer
-    iterations. ~10x the joint sampler's ESS/sec on classification-sized
-    problems (see perf/README.md §5b). All parameter blocks are sampled
-    (block flags are not supported with the split sampler). Draws are
-    recorded per A-update, so `n_iter` outer iterations yield
-    n_iter * a_iters rows (warmup draws included — burn them)."""
+    adapted by per-block dual averaging over `n_warmup` ADDITIONAL
+    warmup outer iterations (n_warmup + n_iter run in total). ~10x the
+    joint sampler's ESS/sec on classification-sized problems (see
+    perf/README.md §5b). All parameter blocks are sampled (block flags
+    are not supported with the split sampler). Draws are recorded per
+    A-update, so `n_iter` outer iterations yield n_iter * a_iters rows;
+    warmup draws are already excluded (split_hmc returns them
+    separately), so `burn` only needs to cover post-warmup
+    equilibration."""
     key = key if key is not None else jax.random.PRNGKey(0)
     if sampler == "split":
         return _mcmc_split(gp, key, n_iter=n_iter, burn=burn, thin=thin,
@@ -123,9 +126,13 @@ def _mcmc_split(gp, key, *, n_iter, burn, thin, a_iters, eps_a, eps_b,
     if not isinstance(gp, _GPA):
         raise TypeError("sampler='split' requires a GPA model (the split "
                         "is [v; lik; mean] vs [kern])")
-    if any(not v for v in flag_kwargs.values()):
-        raise ValueError("block flags are not supported with "
-                         "sampler='split' (all blocks are sampled)")
+    if flag_kwargs:
+        # reject EVERY extra kwarg, truthy or not: block flags are
+        # unsupported here regardless of value, and a typo'd name (e.g.
+        # noize=True) must not be silently ignored (ADVICE r4)
+        raise ValueError(
+            "block flags are not supported with sampler='split' (all "
+            f"blocks are sampled); got {sorted(flag_kwargs)}")
     precompute, lp_a, lp_b, a0, b0 = gp.make_split_logprob()
     na = a0.shape[0]
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.kernels import Kernel, SEIso
 from ..ops.means import Mean, MeanZero
@@ -288,11 +289,14 @@ class GPE:
         TRAINING locations, where the per-observation noise is defined (the
         reference's vector-noise GPE is exercised through prediction in
         test/heteroscedastic.jl); at new locations the noise is undefined —
-        use predict_f."""
+        use predict_f. The training-location check runs on HOST values
+        (np.array_equal), so the heteroscedastic path is eager-only —
+        calling it under jit/vmap would need a traced equality test on
+        data that is static by construction (ADVICE r4)."""
         if jnp.ndim(self.lognoise) > 0:
             xs_ = _as_X(xs)
-            if xs_.shape != self.x.shape or not bool(
-                    jnp.all(xs_ == self.x)):
+            if xs_.shape != self.x.shape or not np.array_equal(
+                    np.asarray(xs_), np.asarray(self.x)):
                 raise ValueError(
                     "heteroscedastic (vector-noise) predict_y is defined "
                     "only at the training locations (the per-observation "

@@ -244,8 +244,9 @@ def sharded_hmc(logprob_fn, theta0, key, mesh: Mesh, *, axis: str = "chains",
 
 @dataclass
 class ShardedSplitHMCResult:
-    samples: jnp.ndarray  # (C, n_iter * a_iters, Da + Db)
-    accept_rate_a: jnp.ndarray  # (C,)
+    samples: jnp.ndarray  # (C, n_iter * a_iters, Da + Db) post-warmup
+    warmup_samples: jnp.ndarray  # (C, n_warmup * a_iters, Da + Db)
+    accept_rate_a: jnp.ndarray  # (C,) post-warmup acceptance
     accept_rate_b: jnp.ndarray  # (C,)
     eps_a_final: jnp.ndarray  # () shared adapted step sizes
     eps_b_final: jnp.ndarray  # ()
@@ -255,8 +256,9 @@ class ShardedSplitHMCResult:
 
 jax.tree_util.register_dataclass(
     ShardedSplitHMCResult,
-    data_fields=["samples", "accept_rate_a", "accept_rate_b",
-                 "eps_a_final", "eps_b_final", "final", "final_target"],
+    data_fields=["samples", "warmup_samples", "accept_rate_a",
+                 "accept_rate_b", "eps_a_final", "eps_b_final", "final",
+                 "final_target"],
     meta_fields=[],
 )
 
@@ -280,9 +282,13 @@ def sharded_split_hmc(precompute, logprob_a, logprob_b, theta0, key,
     every chain on every device.
 
     theta0: (C, na + nb) initial states ([a; b] per chain), C divisible
-    by the axis size. Draws are recorded per A-update (n_iter * a_iters
-    rows per chain; the first n_warmup * a_iters rows are warmup).
-    segment_iters bounds single device executions as in sharded_hmc."""
+    by the axis size. n_warmup is ADDITIVE (n_warmup + n_iter outer
+    iterations run in total, the same convention as sharded_hmc and
+    split_hmc). Draws are recorded per A-update; `samples` holds the
+    n_iter * a_iters post-warmup rows per chain and `warmup_samples`
+    the n_warmup * a_iters warmup rows, so ESS over warmup draws can't
+    happen by accident. segment_iters bounds single device executions
+    as in sharded_hmc."""
     C, D = theta0.shape
     n_dev = mesh.shape[axis]
     if C % n_dev:
@@ -338,6 +344,15 @@ def sharded_split_hmc(precompute, logprob_a, logprob_b, theta0, key,
         a, a_draws, accs_a, ap_a, keys_b = jax.vmap(chain_a_sweep)(
             a, b, aux, keys)
 
+        # each recorded draw pairs a_i with the b IN FORCE during the A
+        # sweep — the chunk must be built BEFORE the B update below, or
+        # (a_i, b_new) records joint states the chain never occupied and
+        # cross-block statistics are biased (matches inference/split.py's
+        # ordering; ADVICE r4 high)
+        chunk = jnp.concatenate(
+            [a_draws, jnp.broadcast_to(b[:, None, :],
+                                       (c, a_iters, D - na))], axis=-1)
+
         # --- B updates (refactorize per leapfrog step) ------------------
         def chain_b(b_i, a_i, k_i):
             vg = jax.value_and_grad(lambda x: logprob_b(x, a_i))
@@ -359,12 +374,11 @@ def sharded_split_hmc(precompute, logprob_a, logprob_b, theta0, key,
         st_b = jax.tree_util.tree_map(
             lambda new, old: jnp.where(in_warm, new, old), st_b_n, st_b)
 
-        acc_a = acc_a + accs_a
-        acc_b = acc_b + acc_b_d.astype(acc_b.dtype)
-        # draws: (c, a_iters, Da) + current b -> (a_iters, c, Da+Db)
-        chunk = jnp.concatenate(
-            [a_draws, jnp.broadcast_to(b[:, None, :],
-                                       (c, a_iters, D - na))], axis=-1)
+        # acceptance counts post-warmup proposals only (the reported
+        # rates describe the sampling phase, not the adapting one)
+        post = it >= n_warmup
+        acc_a = acc_a + jnp.where(post, accs_a, 0)
+        acc_b = acc_b + jnp.where(post, acc_b_d.astype(acc_b.dtype), 0)
         out = (jnp.moveaxis(chunk, 1, 0), t_b)
         return (a, b, keys, acc_a, acc_b, st_a, st_b), out
 
@@ -404,12 +418,13 @@ def sharded_split_hmc(precompute, logprob_a, logprob_b, theta0, key,
         t_last = t_b[-1]
         it_done += n_step
 
-    samples = jnp.moveaxis(jnp.concatenate(chunks, axis=0), 0, 1)
+    samples_all = jnp.moveaxis(jnp.concatenate(chunks, axis=0), 0, 1)
     a_f, b_f, _, acc_a, acc_b, st_a, st_b = carry
     return ShardedSplitHMCResult(
-        samples=samples,
-        accept_rate_a=acc_a / (total * a_iters),
-        accept_rate_b=acc_b / total,
+        samples=samples_all[:, n_warmup * a_iters:],
+        warmup_samples=samples_all[:, : n_warmup * a_iters],
+        accept_rate_a=acc_a / (n_iter * a_iters),
+        accept_rate_b=acc_b / n_iter,
         eps_a_final=jnp.exp(st_a[2]),
         eps_b_final=jnp.exp(st_b[2]),
         final=jnp.concatenate([a_f, b_f], axis=1),

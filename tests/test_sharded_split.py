@@ -38,7 +38,9 @@ def test_sharded_split_runs_and_adapts(model):
     res = sharded_split_hmc(pc, la, lb, th, jax.random.PRNGKey(1), mesh,
                             na, n_iter=60, a_iters=3, n_warmup=40,
                             eps_a0=0.8, eps_b0=0.3)
-    assert res.samples.shape == (8, 100 * 3, th.shape[1])
+    # warmup draws come back SEPARATELY (n_warmup is additive)
+    assert res.samples.shape == (8, 60 * 3, th.shape[1])
+    assert res.warmup_samples.shape == (8, 40 * 3, th.shape[1])
     assert np.all(np.isfinite(np.asarray(res.samples)))
     ea, eb = float(res.eps_a_final), float(res.eps_b_final)
     # collective adaptation pulled the deliberately-bad step sizes down
@@ -66,11 +68,12 @@ def test_sharded_split_mesh_size_invariant(model):
     r1 = sharded_split_hmc(pc, la, lb, th, key,
                            make_mesh({"chains": 1},
                                      devices=jax.devices()[:1]), na, **kw)
-    # first two outer iterations: before chaotic amplification
-    assert np.allclose(np.asarray(r8.samples[:, :4]),
-                       np.asarray(r2.samples[:, :4]), atol=1e-9)
-    assert np.allclose(np.asarray(r8.samples[:, :4]),
-                       np.asarray(r1.samples[:, :4]), atol=1e-9)
+    # first two outer iterations (warmup rows): before chaotic
+    # amplification
+    assert np.allclose(np.asarray(r8.warmup_samples[:, :4]),
+                       np.asarray(r2.warmup_samples[:, :4]), atol=1e-9)
+    assert np.allclose(np.asarray(r8.warmup_samples[:, :4]),
+                       np.asarray(r1.warmup_samples[:, :4]), atol=1e-9)
     # shared adaptation converges to the same step sizes across layouts
     assert np.allclose(float(r8.eps_a_final), float(r1.eps_a_final),
                        rtol=1e-4)
@@ -92,6 +95,8 @@ def test_sharded_split_segment_iters_bit_exact(model):
                               segment_iters=7, **kw)
     assert np.array_equal(np.asarray(r_one.samples),
                           np.asarray(r_seg.samples))
+    assert np.array_equal(np.asarray(r_one.warmup_samples),
+                          np.asarray(r_seg.warmup_samples))
     assert float(r_one.eps_a_final) == float(r_seg.eps_a_final)
     assert float(r_one.eps_b_final) == float(r_seg.eps_b_final)
 
@@ -101,3 +106,71 @@ def test_sharded_split_validates_divisibility(model):
     with pytest.raises(ValueError, match="divisible"):
         sharded_split_hmc(pc, la, lb, th, jax.random.PRNGKey(7),
                           make_mesh({"chains": 8}), na, n_iter=2)
+
+
+def test_sharded_split_records_pre_update_b(model):
+    """Each recorded draw must pair a_i with the kernel block b that was
+    IN FORCE during the A sweep — not the b sampled afterwards (ADVICE r4
+    high: post-update pairing records joint states the chain never
+    occupied, biasing cross-block statistics). Signature: the first outer
+    iteration's rows carry the INITIAL b exactly, and iteration i+1's
+    rows carry a b that only changes when the B update accepted."""
+    pc, la, lb, na, th = _starts(model, 8, jax.random.PRNGKey(8))
+    mesh = make_mesh({"chains": 8})
+    res = sharded_split_hmc(pc, la, lb, th, jax.random.PRNGKey(9), mesh,
+                            na, n_iter=6, a_iters=3, n_warmup=0,
+                            eps_a0=0.2, eps_b0=0.05)
+    s = np.asarray(res.samples)  # (8, 6*3, D)
+    b0 = np.asarray(th[:, na:])
+    # iteration 0's three rows: b == the initial b, bit-exactly
+    for j in range(3):
+        assert np.array_equal(s[:, j, na:], b0), j
+    # within every outer iteration the b rows are constant
+    bb = s[:, :, na:].reshape(8, 6, 3, -1)
+    assert np.all(bb == bb[:, :, :1, :])
+    # and the final state's b is NOT what iteration-final rows carry
+    # whenever the last B update accepted (b moved after recording)
+    moved = ~np.all(np.isclose(np.asarray(res.final[:, na:]),
+                               s[:, -1, na:]), axis=1)
+    acc_any = np.asarray(res.accept_rate_b) > 0
+    # chains whose last update accepted must show post-recording movement
+    # (statistically: with eps_b=0.05 acceptance is high, so some chain
+    # both accepted at the last step and moved)
+    assert moved.any() or not acc_any.any()
+
+
+def test_sharded_split_moments_match_single_device(model):
+    """The sharded sampler must target the same joint as the
+    single-device split_hmc: pooled posterior moments agree within
+    Monte Carlo error (the draw-pairing fix makes cross-block statistics
+    comparable too)."""
+    from gaussianprocesses_jl_tpu.inference.diagnostics import (
+        effective_sample_size,
+    )
+
+    pc, la, lb, na, th = _starts(model, 16, jax.random.PRNGKey(10))
+    mesh = make_mesh({"chains": 8})
+    kw = dict(n_iter=250, a_iters=2, eps_a0=0.25, eps_b0=0.08)
+    rs = sharded_split_hmc(pc, la, lb, th, jax.random.PRNGKey(11), mesh,
+                           na, n_warmup=50, **kw)
+    post_s = np.asarray(rs.samples)[:, 100:, :]
+
+    def one(t, k):
+        return gp.split_hmc(pc, la, lb, t[:na], t[na:], k, n_iter=250,
+                            a_iters=2, eps_a=0.25, eps_b=0.08)
+    keys = jax.random.split(jax.random.PRNGKey(12), 16)
+    rv = jax.vmap(one)(th, keys)
+    post_v = np.asarray(rv.samples)[:, 150:, :]
+
+    for post in (post_s, post_v):
+        assert np.all(np.isfinite(post))
+    mean_s = post_s.reshape(-1, post_s.shape[-1]).mean(axis=0)
+    mean_v = post_v.reshape(-1, post_v.shape[-1]).mean(axis=0)
+    sd_s = post_s.reshape(-1, post_s.shape[-1]).std(axis=0)
+    sd_v = post_v.reshape(-1, post_v.shape[-1]).std(axis=0)
+    ess_s = np.maximum(np.asarray(effective_sample_size(post_s)), 8.0)
+    ess_v = np.maximum(np.asarray(effective_sample_size(post_v)), 8.0)
+    se = np.sqrt(sd_s**2 / ess_s + sd_v**2 / ess_v)
+    z = np.abs(mean_s - mean_v) / se
+    assert np.max(z) < 5.0, (z.max(), np.argmax(z))
+    assert np.all(np.abs(sd_s - sd_v) / sd_v < 0.3)

@@ -152,6 +152,10 @@ def test_mcmc_split_sampler_api(gpa_model):
         gp.mcmc(mg, sampler="split", verbose=False)
     with pytest.raises(ValueError, match="flags"):
         gp.mcmc(m, sampler="split", kern=False, verbose=False)
+    # truthy unknown kwargs must ALSO raise (a typo like noize=True was
+    # silently ignored before; ADVICE r4)
+    with pytest.raises(ValueError, match="noize"):
+        gp.mcmc(m, sampler="split", noize=True, verbose=False)
 
 
 def test_split_hmc_dual_averaging_adapts(gpa_model):
@@ -162,9 +166,12 @@ def test_split_hmc_dual_averaging_adapts(gpa_model):
     m = gpa_model
     precompute, lp_a, lp_b, a0, b0 = m.make_split_logprob()
     res = gp.split_hmc(precompute, lp_a, lp_b, a0, b0,
-                       jax.random.PRNGKey(6), n_iter=300, a_iters=2,
+                       jax.random.PRNGKey(6), n_iter=150, a_iters=2,
                        eps_a=1.5, eps_b=0.5, n_warmup=150,
                        target_accept=0.8)
+    # warmup is additive and its draws are returned separately
+    assert res.samples.shape[0] == 150 * 2
+    assert res.warmup_samples.shape[0] == 150 * 2
     ea, eb = float(res.eps_a_final), float(res.eps_b_final)
     assert 1e-4 < ea < 1.5 and 1e-4 < eb < 0.5, (ea, eb)
     # post-warmup acceptance near the target: re-run at the adapted eps
@@ -181,6 +188,8 @@ def test_split_hmc_dual_averaging_adapts(gpa_model):
 
 
 def test_mcmc_split_warmup_plumbs_through(gpa_model):
+    # n_warmup is additive and its draws never reach MCMCResult.samples;
+    # burn applies to the post-warmup rows only
     res = gp.mcmc(gpa_model, jax.random.PRNGKey(11), n_iter=40, a_iters=2,
                   eps_a=1.0, eps_b=0.3, n_warmup=20, burn=40,
                   sampler="split", verbose=False)
