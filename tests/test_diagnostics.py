@@ -35,6 +35,48 @@ def test_ess_correlated_low():
     assert 40 < ess < 400
 
 
+def test_ess_ar1_known_tau_multichain():
+    """Calibration against the analytic AR(1) integrated autocorrelation
+    time tau = (1+rho)/(1-rho): the multi-chain estimate of C*n/tau must
+    land within a factor of ~1.6 of truth (VERDICT r5 item 2)."""
+    rng = np.random.RandomState(7)
+    C, n, rho = 8, 4000, 0.9
+    tau_true = (1 + rho) / (1 - rho)  # 19
+    z = np.zeros((C, n))
+    innov = rng.randn(C, n) * np.sqrt(1 - rho**2)
+    z[:, 0] = rng.randn(C)
+    for i in range(1, n):
+        z[:, i] = rho * z[:, i - 1] + innov[:, i]
+    ess = float(effective_sample_size(jnp.asarray(z)[:, :, None])[0])
+    expected = C * n / tau_true  # ~1684
+    assert expected / 1.6 < ess < expected * 1.6, (ess, expected)
+
+
+def test_ess_nonmixing_modes_reports_few_samples():
+    """The defining property of the between-chain-aware estimator: chains
+    stuck in DIFFERENT modes, each locally well-mixed, must report a tiny
+    ESS — not C * n (the r4 estimator reported 7,302 'effective samples'
+    under R-hat 1.54 exactly because it ignored between-chain variance)."""
+    rng = np.random.RandomState(11)
+    C, n = 8, 1000
+    modes = np.where(np.arange(C) % 2 == 0, -5.0, 5.0)
+    x = modes[:, None] + rng.randn(C, n)  # iid WITHIN each chain
+    ess = float(effective_sample_size(jnp.asarray(x)[:, :, None])[0])
+    # 8000 pooled draws but only ~2 effective "mode visits": the ESS must
+    # report O(#chains), not O(C * n)
+    assert ess < 3 * C, ess
+    # and the rank-normalized bulk variant agrees
+    essb = float(effective_sample_size(jnp.asarray(x)[:, :, None],
+                                       rank_normalized=True)[0])
+    assert essb < 3 * C, essb
+    # sanity: well-mixed chains of the same mixture DO get a large ESS
+    flat = x.reshape(-1)
+    rng.shuffle(flat)
+    ess_mixed = float(effective_sample_size(
+        jnp.asarray(flat.reshape(C, n))[:, :, None])[0])
+    assert ess_mixed > 2000, ess_mixed
+
+
 def test_rhat_converged_vs_not():
     rng = np.random.RandomState(2)
     good = jnp.asarray(rng.randn(4, 1000, 2))
@@ -43,6 +85,51 @@ def test_rhat_converged_vs_not():
     bad = good + jnp.arange(4.0)[:, None, None] * 5.0
     r = np.asarray(split_rhat(bad))
     assert np.all(r > 1.5)
+
+
+def test_rhat_folded_catches_scale_disagreement():
+    """Chains that agree in LOCATION but disagree in SCALE have raw-mean
+    split-R-hat ~= 1; the folded (tail) component must flag them
+    (Vehtari et al. 2021's motivation for folding)."""
+    rng = np.random.RandomState(5)
+    C, n = 8, 2000
+    scales = np.where(np.arange(C) % 2 == 0, 1.0, 6.0)
+    x = scales[:, None] * rng.randn(C, n)
+    r = float(split_rhat(jnp.asarray(x)[:, :, None])[0])
+    assert r > 1.2, r
+
+
+def test_rhat_rank_normalized_robust_to_heavy_tails():
+    """On heavy-tailed (Cauchy) chains with identical distributions, the
+    rank-normalized R-hat must stay near 1 (the raw-moment version is
+    destabilized by extreme draws); with one chain offset it must fire."""
+    rng = np.random.RandomState(6)
+    C, n = 8, 2000
+    x = rng.standard_cauchy((C, n))
+    r_same = float(split_rhat(jnp.asarray(x)[:, :, None])[0])
+    assert r_same < 1.05, r_same
+    x_off = x.copy()
+    x_off[0] += 30.0  # one chain in a different location
+    r_off = float(split_rhat(jnp.asarray(x_off)[:, :, None])[0])
+    assert r_off > 1.1, r_off
+
+
+def test_rank_normalize_is_standard_normal_scores():
+    from gaussianprocesses_jl_tpu.inference.diagnostics import (
+        rank_normalize,
+    )
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(np.exp(rng.randn(3, 500, 2)))  # lognormal draws
+    z = np.asarray(rank_normalize(x))
+    assert z.shape == x.shape
+    # pooled scores are an exact normal quantile grid: mean 0, sd ~ 1
+    flat = z.reshape(-1, 2)
+    assert np.allclose(flat.mean(axis=0), 0.0, atol=1e-6)
+    assert np.allclose(flat.std(axis=0), 1.0, atol=0.05)
+    # monotone: ordering preserved per dimension
+    f = np.asarray(x).reshape(-1, 2)
+    for d in range(2):
+        assert np.all(np.argsort(f[:, d]) == np.argsort(flat[:, d]))
 
 
 def test_checkpoint_roundtrip():
