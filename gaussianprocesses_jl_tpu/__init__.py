@@ -102,6 +102,6 @@ from .sklearn import GPRegressor
 from .parallel.dense import DistributedFullCovariance
 from .parallel.gram import ring_gram
 from .parallel.mesh import make_mesh
-from .parallel.vi import sharded_vi, sharded_elbo
+from .parallel.vi import sharded_vi, sharded_elbo, sharded_vi_train
 
 __version__ = "0.1.0"

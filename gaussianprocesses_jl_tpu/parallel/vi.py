@@ -32,7 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..inference.vi import Approx, make_neg_elbo, _prior_pieces
 
 __all__ = ["sharded_vi", "ShardedVIResult", "sharded_elbo_fn",
-           "sharded_elbo"]
+           "sharded_elbo", "sharded_vi_train", "ShardedVITrainResult"]
 
 
 @dataclass
@@ -99,17 +99,10 @@ def sharded_vi(gp, mesh: Mesh, *, axis: str = "chains",
                            elbos=elbos, best=best)
 
 
-def sharded_elbo_fn(gp, mesh: Mesh, axis: str = "data"):
-    """Build a jitted observation-sharded `elbo(m, v)` for `gp` at its
-    current hyperparameters.
-
-    The per-observation pieces — lik.var_exp on the local shard of
-    (y, m, v), sum log v, and v . diag(K^-1) — run on disjoint
-    observation shards and psum over `axis`; the coupled pieces
-    (logdet K and the K^-1 quadratic form in m - mu) are evaluated
-    replicated against the precomputed factor. Equals
-    inference.vi.elbo(gp, m, v) to reduction-order round-off.
-    Requires n % mesh.shape[axis] == 0."""
+def _make_sharded_elbo(gp, mesh: Mesh, axis: str = "data"):
+    """Unjitted observation-sharded `elbo(m, v)` (see sharded_elbo_fn);
+    composable inside larger jitted programs (sharded_vi_train's Adam
+    scan wraps it)."""
     pd, mu, diag_Kinv = _prior_pieces(gp)
     y, lik = gp.y, gp.params.lik
     n = mu.shape[0]
@@ -132,15 +125,92 @@ def sharded_elbo_fn(gp, mesh: Mesh, axis: str = "data"):
         local, mesh=mesh, in_specs=(P(), P(), P(axis), P(axis)),
         out_specs=P(), check_vma=False)
 
-    @jax.jit
     def elbo_fn(m, v):
         r = m - mu
         coupled = 0.5 * (-pd.logdet() - pd.quad(r) + n)
         return coupled + sharded_part(m, v, y, diag_Kinv)
 
-    return elbo_fn
+    return elbo_fn, mu, n
+
+
+def sharded_elbo_fn(gp, mesh: Mesh, axis: str = "data"):
+    """Build a jitted observation-sharded `elbo(m, v)` for `gp` at its
+    current hyperparameters.
+
+    The per-observation pieces — lik.var_exp on the local shard of
+    (y, m, v), sum log v, and v . diag(K^-1) — run on disjoint
+    observation shards and psum over `axis`; the coupled pieces
+    (logdet K and the K^-1 quadratic form in m - mu) are evaluated
+    replicated against the precomputed factor. Equals
+    inference.vi.elbo(gp, m, v) to reduction-order round-off, for
+    values AND gradients (the shard_map transpose psums the per-shard
+    cotangent contributions back into the replicated (m, v) cotangent —
+    pinned by tests/test_parallel_vi.py). Requires
+    n % mesh.shape[axis] == 0."""
+    return jax.jit(_make_sharded_elbo(gp, mesh, axis)[0])
 
 
 def sharded_elbo(gp, m, v, mesh: Mesh, axis: str = "data"):
     """Observation-sharded ELBO value (see sharded_elbo_fn)."""
     return sharded_elbo_fn(gp, mesh, axis)(jnp.asarray(m), jnp.asarray(v))
+
+
+@dataclass
+class ShardedVITrainResult:
+    approx: Approx  # fitted Q = N(m, diag v)
+    elbo: float  # final ELBO (sharded objective)
+    elbo_trace: jnp.ndarray  # (nits,) ELBO per Adam step
+
+
+def sharded_vi_train(gp, mesh: Mesh, *, axis: str = "data",
+                     nits: int = 200, lr: float = 0.05,
+                     theta0=None) -> ShardedVITrainResult:
+    """Fit mean-field VI by running Adam ON the observation-sharded ELBO
+    (BASELINE north star "VI particle batches sharded over hosts"; the
+    training-loop counterpart of ref src/vi.jl:50-81's full-batch Fminbox
+    loop, with the per-observation work distributed over `mesh[axis]`).
+
+    Each step evaluates the sharded objective and differentiates through
+    the shard_map boundary: the per-shard var_exp / elementwise-KL
+    cotangents psum back into the replicated [m; rho] cotangent, so every
+    device computes only its observation shard's forward AND backward
+    work. The whole nits-step loop is one jitted lax.scan. Starting from
+    the same initialization, the result matches the replicated
+    vi(method='adam') to reduction-order round-off (tested).
+
+    theta0: optional (2n,) start [m; rho]; defaults to the prior
+    initialization (m = mu, v = diag K) as in vi()."""
+    import optax
+
+    elbo_fn, mu, n = _make_sharded_elbo(gp, mesh, axis)
+    if theta0 is None:
+        v0 = jnp.maximum(gp.params.kernel.diag(gp.x), 1e-8)
+        theta0 = jnp.concatenate([mu, 0.5 * jnp.log(v0)])
+    else:
+        theta0 = jnp.asarray(theta0)
+
+    def neg(theta):
+        return -elbo_fn(theta[:n], jnp.exp(2.0 * theta[n:]))
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(theta):
+        def step(carry, _):
+            th, st = carry
+            val, g = jax.value_and_grad(neg)(th)
+            updates, st = opt.update(g, st, th)
+            return (optax.apply_updates(th, updates), st), -val
+
+        (theta, _), trace = jax.lax.scan(step, (theta, opt.init(theta)),
+                                         None, length=nits)
+        return theta, trace
+
+    theta, trace = run(theta0)
+    m = theta[:n]
+    v = jnp.exp(2.0 * theta[n:])
+    return ShardedVITrainResult(
+        approx=Approx(m=m, v=v),
+        elbo=float(elbo_fn(m, v)),
+        elbo_trace=trace,
+    )
