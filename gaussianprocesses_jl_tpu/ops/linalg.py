@@ -29,6 +29,7 @@ __all__ = [
     "symmetrize",
     "default_jitter",
     "tri_inv_lower",
+    "tri_syrk_lower",
     "blocked_cholesky",
     "dense_quad_logdet",
     "set_grad_gemm_precision",
@@ -63,12 +64,27 @@ def safe_cholesky(K: jnp.ndarray):
     `ok` (the reference's numerical-failure rejection pattern).
 
     Large f32 factorizations on TPU route through `blocked_cholesky`
-    (measured 1.25x over XLA's kernel at n=10000 — see perf/README.md)."""
+    (measured 1.25x over XLA's kernel at n=10000 — see perf/README.md).
+    The blocked path's HIGH-precision cross-panel GEMMs can push a
+    NEAR-SINGULAR K indefinite where exact-f32 arithmetic succeeds
+    (observed r5: masked 1-D SE gram at n=16384 with noise var 0.135 —
+    the bf16-3pass correction error ~1e-3 * ||K|| exceeds the noise
+    floor), so on failure the factorization retries once with XLA's
+    kernel before reporting not-PD."""
     L = _chol(K)
     ok = jnp.all(jnp.isfinite(L))
+    if _use_blocked(K):
+        L, ok = _retry_chol_xla(ok, L, K)
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
     L = jnp.where(ok, L, eye)
     return L, ok
+
+
+def _retry_chol_xla(ok, L, K):
+    """Fall back to jnp.linalg.cholesky when the first factorization
+    produced NaNs (lax.cond: the retry only executes on failure)."""
+    L2 = jax.lax.cond(ok, lambda: L, lambda: jnp.linalg.cholesky(K))
+    return L2, jnp.all(jnp.isfinite(L2))
 
 
 def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
@@ -265,6 +281,43 @@ def dense_quad_logdet(K: jnp.ndarray, r: jnp.ndarray):
     return quad, logdet, ok
 
 
+def tri_syrk_lower(Linv: jnp.ndarray, block: int = 2048,
+                   precision=None) -> jnp.ndarray:
+    """Linv^T @ Linv for LOWER-TRIANGULAR Linv, exploiting the triangle.
+
+    The full GEMM cannot see the zeros above the diagonal, so it spends
+    2 n^3 FLOPs; block (i, j) of the product only needs rows >= i*block
+    of Linv (everything above is zero in block-column i), and the upper
+    triangle is the mirror of the lower — ~3x fewer FLOPs. At n=16384
+    this is the dominant term of the dense-mll gradient (the K^-1 build
+    in dense_quad_logdet's backward), where the full product measured
+    ~3x this blocked form's GEMM time."""
+    precision = _HIGH if precision is None else precision
+    n = Linv.shape[-1]
+    if n <= block:
+        return jnp.matmul(Linv.T, Linv, precision=precision)
+    nb = -(-n // block)
+    rows = []
+    for i in range(nb):
+        i0, i1 = i * block, min((i + 1) * block, n)
+        Li = Linv[i0:, i0:i1]  # nonzero rows of block-column i
+        blocks = [
+            jnp.matmul(Li.T, Linv[i0:, j * block:min((j + 1) * block, n)],
+                       precision=precision)
+            for j in range(i + 1)
+        ]
+        row = jnp.concatenate(blocks, axis=1)
+        pad = n - row.shape[1]
+        if pad:
+            row = jnp.concatenate(
+                [row, jnp.zeros((i1 - i0, pad), Linv.dtype)], axis=1)
+        rows.append(row)
+    Kl = jnp.concatenate(rows, axis=0)  # lower blocks + full diag blocks
+    bidx = jnp.arange(n) // block
+    upper = bidx[None, :] > bidx[:, None]  # strictly-upper BLOCKS
+    return jnp.where(upper, Kl.T, Kl)
+
+
 # Precision of the gradient-only K^-1 GEMM in the backward pass. HIGHEST
 # (the default) makes grads match the f32 forward to rounding error;
 # Precision.HIGH (3-pass bf16) saves ~35% of the dominant GEMM at ~5e-5
@@ -297,7 +350,7 @@ def _dql_bwd(res, cots):
     Linv, w = res
     quad_bar, logdet_bar, _ = cots
     alpha = jnp.matmul(Linv.T, w, precision=_HIGH)  # K^-1 r
-    Kinv = jnp.matmul(Linv.T, Linv, precision=_GRAD_GEMM_PRECISION)
+    Kinv = tri_syrk_lower(Linv, precision=_GRAD_GEMM_PRECISION)
     # d quad / dK = -αα^T ; d logdet / dK = K^-1  (both symmetric)
     K_bar = logdet_bar * Kinv - quad_bar * jnp.outer(alpha, alpha)
     r_bar = (2.0 * quad_bar) * alpha

@@ -85,3 +85,34 @@ def test_dense_quad_logdet_value_and_grad_consistency():
     gK0, gr0 = jax.grad(f_ref, argnums=(0, 1))(K, r)
     assert np.allclose(np.asarray(gK), np.asarray(gK0), atol=1e-9)
     assert np.allclose(np.asarray(gr), np.asarray(gr0), atol=1e-9)
+
+
+def test_tri_syrk_lower_matches_full_product():
+    from gaussianprocesses_jl_tpu.ops.linalg import tri_syrk_lower
+
+    for n, block in ((500, 128), (512, 128), (300, 512), (700, 256)):
+        K = _psd(n, seed=7)
+        Linv = tri_inv_lower(jnp.linalg.cholesky(K))
+        full = np.asarray(Linv.T @ Linv)
+        blocked = np.asarray(tri_syrk_lower(Linv, block=block))
+        assert np.allclose(blocked, full, atol=1e-10), (n, block)
+        # exactly symmetric by construction (mirrored blocks)
+        assert np.allclose(blocked, blocked.T, atol=0)
+
+
+def test_safe_cholesky_retry_helper():
+    """The blocked path's HIGH-precision GEMMs can NaN on near-singular K
+    where exact f32 succeeds; the retry helper must recover with XLA's
+    kernel (the TPU route is exercised end-to-end by the n=16384 masked
+    kernel bench row)."""
+    from gaussianprocesses_jl_tpu.ops.linalg import _retry_chol_xla
+
+    K = _psd(64, seed=8)
+    bad_L = jnp.full((64, 64), jnp.nan, K.dtype)
+    L, ok = _retry_chol_xla(jnp.asarray(False), bad_L, K)
+    assert bool(ok)
+    assert np.allclose(np.asarray(L @ L.T), np.asarray(K), rtol=1e-10)
+    # when the first attempt was fine, it is returned untouched
+    L0 = jnp.linalg.cholesky(K)
+    L, ok = _retry_chol_xla(jnp.asarray(True), L0, K)
+    assert bool(ok) and np.array_equal(np.asarray(L), np.asarray(L0))
