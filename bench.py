@@ -684,6 +684,39 @@ def bench_kernel_micro():
     return table
 
 
+def bench_kernel_table_16k(n=16384, d=10, reps=4, n_trials=3):
+    """The BASELINE kernel table re-run at TPU-relevant scale (VERDICT r4
+    item 7): the same 10 kernel compositions, mll+gradient, at n=16384 —
+    where gram+Cholesky dominates the ~6 ms dispatch floor that pins the
+    n=3000 table (all 10 rows sat within 6.25-6.65 ms there, so the
+    composite-kernel spread the reference shows at 800->1977 ms was
+    invisible) and the Pallas fused-gram path engages (ops/pallas_gram.py
+    routes symmetric grams at n >= 8192). Returns {name: ms} with "oom"
+    for any composition whose gradient working set exceeds HBM."""
+    import jax.numpy as jnp
+
+    import gaussianprocesses_jl_tpu as gp
+
+    rng = np.random.RandomState(42)
+    X = jnp.asarray(rng.randn(n, d), dtype=jnp.float32)
+    y = jnp.asarray(rng.randn(n), dtype=jnp.float32)
+    table = {}
+    for name, kern in kernels(gp, jnp).items():
+        try:
+            ms, mll = bench_one(name, kern, X, y, n_trials=n_trials,
+                                reps=reps)
+        except Exception as e:  # a too-big composite must not kill the run
+            print(f"# n={n} {name}: FAILED ({type(e).__name__})",
+                  file=sys.stderr)
+            table[name] = "oom"
+            continue
+        table[name] = round(ms, 2)
+        print(f"# n={n:5d} {name:22s} mll+grad {ms:9.2f} ms  "
+              f"(vs se x{ms / table.get('se', ms):.2f})  mll={mll:.1f}",
+              file=sys.stderr)
+    return table
+
+
 def bench_fitc100k(N=100_000, m=512, d=4, steps=6):
     """Config #4: FITC mll value+gradient+Adam-update steps at N=100k on
     the chip (the observation-sharded path on a 1-device mesh — the same
@@ -927,6 +960,21 @@ def main():
             "value": best.get("ess_per_sec_median"),
             "unit": "eff samples/s/chip (median)",
             "student_t_1024": out}))
+        return
+    if "--kernels16k" in sys.argv:
+        table = bench_kernel_table_16k()
+        final["done"] = True
+        detail = dict(prev)
+        detail["kernel_table_n16384_ms"] = table
+        detail["kernel_table_n16384_measured_at"] = _now_iso()
+        detail["date"] = _now_iso()
+        with open("BENCH_DETAIL.json", "w") as fh:
+            json.dump(detail, fh, indent=1)
+        se_ms = table.get("se")
+        print(compact_line({
+            "metric": "mll+grad wall time (se kernel, d=10, n=16384)",
+            "value": se_ms if isinstance(se_ms, float) else None,
+            "unit": "ms"}))
         return
     if fitc_only:
         out = bench_fitc100k()
