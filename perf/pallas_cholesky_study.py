@@ -272,6 +272,218 @@ def study_launch_overhead():
 
 
 # ---------------------------------------------------------------------------
+# 2b. single-launch whole-factorization kernel (VERDICT r4 item 4)
+#
+# The r4 wall analysis: the shipped hybrid's 21.4 ms at n=10240 is ~18.5 ms
+# of 40 sequential XLA panel ops, each paying a ~0.5 ms dispatch/latency
+# floor, + ~3 ms of MXU trailing updates. One pallas_call costs 0.6 ms and
+# in-kernel Mosaic loop iterations ~1 us, so a single launch holding the
+# WHOLE left-looking factorization (HBM-resident K, VMEM-tiled panels,
+# corrections + below-diagonal applies on the MXU, micro-panel rank-1
+# chain on the VPU) pays the launch once and replaces 40 dispatch floors
+# with n in-kernel column steps. Expected from the measured numbers:
+# serial chain n x ~0.5-1.4 us = 5-14 ms + ~11 ms MXU work, i.e. anywhere
+# from a 1.4x win to parity — this experiment settles it.
+# ---------------------------------------------------------------------------
+
+
+def _chol_inv_block_val(P, T=128):
+    """Value-based fused Cholesky + inverse of one (B, B) PSD block
+    (the _panel_kernel algorithm on jnp values, for use inside a larger
+    kernel). Returns (L, Linv), both lower-triangular."""
+    B = P.shape[0]
+    nt = B // T
+    f32 = jnp.float32
+    colT = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    colT2 = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    rowT2 = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    eyeT = jnp.where(rowT2 == colT2, 1.0, 0.0).astype(f32)
+
+    L = jnp.zeros((B, B), f32)
+    Linv = jnp.zeros((B, B), f32)
+
+    for kt in range(nt):
+        j0 = kt * T
+        m = B - j0
+        rowM = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        P0 = P[j0:, j0:j0 + T]
+        if kt > 0:
+            P0 = P0 - jnp.dot(L[j0:, :j0], L[j0:j0 + T, :j0].T,
+                              preferred_element_type=f32)
+
+        def col_step(j, Pv):
+            cmask = colT == j
+            col = jnp.sum(jnp.where(cmask, Pv, 0.0), axis=1, keepdims=True)
+            d2 = jnp.sum(jnp.where(rowM == j, col, 0.0))
+            col = jnp.where(rowM >= j, col * jax.lax.rsqrt(d2), 0.0)
+            v = jnp.where(colT > j, col[0:T, 0][None, :], 0.0)
+            Pv = Pv - col * v
+            return jnp.where(cmask, col, Pv)
+
+        Pf = jax.lax.fori_loop(0, T, col_step, P0)
+        L = jax.lax.dynamic_update_slice(L, Pf, (j0, j0))
+
+        Ld = Pf[:T, :]
+
+        def fs_step(i, X):
+            rmask = rowT2 == i
+            ldrow = jnp.sum(jnp.where(rmask, Ld, 0.0), axis=0,
+                            keepdims=True)
+            ldii = jnp.sum(jnp.where(colT == i, ldrow, 0.0))
+            ldrow = jnp.where(colT < i, ldrow, 0.0)
+            contrib = jnp.sum(ldrow.T * X, axis=0, keepdims=True)
+            ei = jnp.where(colT == i, 1.0, 0.0)
+            return jnp.where(rmask, (ei - contrib) / ldii, X)
+
+        X = jax.lax.fori_loop(0, T, fs_step, eyeT)
+        Linv = jax.lax.dynamic_update_slice(Linv, X, (j0, j0))
+
+    for i in range(1, nt):
+        for j in range(i):
+            Lij = L[i * T:(i + 1) * T, j * T:i * T]
+            Vj = Linv[j * T:i * T, j * T:(j + 1) * T]
+            S = jnp.dot(Lij, Vj, preferred_element_type=jnp.float32)
+            Di = Linv[i * T:(i + 1) * T, i * T:(i + 1) * T]
+            Linv = jax.lax.dynamic_update_slice(
+                Linv, -jnp.dot(Di, S, preferred_element_type=jnp.float32),
+                (i * T, j * T))
+    return L, Linv
+
+
+def _single_launch_kernel(n, B, R, in_ref, out_ref, acc, tbuf, lkj, sems):
+    """One grid step = one panel of the left-looking factorization.
+
+    out_ref aliases the input in HBM; acc holds the current (n, B) panel
+    column in VMEM; corrections stream (R, B) tiles of already-computed
+    L columns through tbuf/lkj."""
+    del in_ref  # aliased with out_ref
+    k = pl.program_id(0)
+    c = k * B
+    nt_rows = n // R
+    f32 = jnp.float32
+
+    # 1. panel column k: HBM -> VMEM
+    cp = pltpu.make_async_copy(
+        out_ref.at[:, pl.ds(c, B)], acc, sems.at[0])
+    cp.start()
+    cp.wait()
+
+    i0 = jax.lax.div(c, R)  # first row tile touching the panel
+
+    # 2. left-looking correction: acc[r,:] -= L[r, jB:(j+1)B] @ Lkj^T
+    def j_body(j, carry):
+        cpk = pltpu.make_async_copy(
+            out_ref.at[pl.ds(c, B), pl.ds(j * B, B)], lkj, sems.at[1])
+        cpk.start()
+        cpk.wait()
+
+        def i_body(i, carry2):
+            r0 = i * R
+            cpt = pltpu.make_async_copy(
+                out_ref.at[pl.ds(r0, R), pl.ds(j * B, B)], tbuf,
+                sems.at[2])
+            cpt.start()
+            cpt.wait()
+            upd = jnp.dot(tbuf[:], lkj[:].T, preferred_element_type=f32)
+            acc[pl.ds(r0, R), :] = acc[pl.ds(r0, R), :] - upd
+            return carry2
+
+        return jax.lax.fori_loop(i0, nt_rows, i_body, carry)
+
+    jax.lax.fori_loop(0, k, j_body, 0)
+
+    # 3. diagonal block: fused chol + inverse, fully in VMEM
+    D = acc[pl.ds(c, B), :]
+    Ld, Linv = _chol_inv_block_val(D)
+
+    # 4. below-diagonal apply + masking, tile by tile
+    rowR = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+
+    # tiles fully above the panel still hold the DMA'd A column: zero
+    # them (they are this column's strictly-upper triangle)
+    def zero_body(i, carry):
+        acc[pl.ds(i * R, R), :] = jnp.zeros((R, B), f32)
+        return carry
+
+    jax.lax.fori_loop(0, i0, zero_body, 0)
+
+    def apply_body(i, carry):
+        r0 = i * R
+        t = jnp.dot(acc[pl.ds(r0, R), :], Linv.T,
+                    preferred_element_type=f32)
+        absrow = rowR + r0
+        # rows < c+B belong to the diagonal block (stored below) or the
+        # strictly-upper part (zeroed)
+        t = jnp.where(absrow >= c + B, t, 0.0)
+        acc[pl.ds(r0, R), :] = t
+        return carry
+
+    jax.lax.fori_loop(i0, nt_rows, apply_body, 0)
+    acc[pl.ds(c, B), :] = Ld
+
+    # 5. panel column back to HBM
+    cp2 = pltpu.make_async_copy(acc, out_ref.at[:, pl.ds(c, B)],
+                                sems.at[0])
+    cp2.start()
+    cp2.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("B", "R"))
+def single_launch_cholesky(K, B=256, R=1024):
+    """Whole left-looking Cholesky factorization in ONE pallas_call:
+    sequential grid over panels, K HBM-resident and factorized in place
+    (input/output aliased), VMEM-tiled corrections and applies on the
+    MXU, micro-panel rank-1 chain on the VPU."""
+    n = K.shape[0]
+    assert n % B == 0 and n % R == 0 and R % B == 0
+    nb = n // B
+    return pl.pallas_call(
+        functools.partial(_single_launch_kernel, n, B, R),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((n, B), jnp.float32),   # acc: the panel column
+            pltpu.VMEM((R, B), jnp.float32),   # tbuf: streamed L tiles
+            pltpu.VMEM((B, B), jnp.float32),   # lkj: panel-row block
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=INTERP,
+    )(K.astype(jnp.float32))
+
+
+def study_single_launch(n=10240):
+    """Correctness at small n, then the n=10240 shootout vs the shipped
+    hybrid."""
+    rng = np.random.RandomState(0)
+    # correctness first (small n)
+    ns = 2048
+    W = rng.randn(ns, 64).astype(np.float32)
+    A = jnp.asarray(W @ W.T + ns * np.eye(ns, dtype=np.float32))
+    L = single_launch_cholesky(A, B=256, R=512)
+    L0 = np.linalg.cholesky(np.asarray(A, np.float64))
+    err = np.abs(np.asarray(L) - L0).max() / np.abs(L0).max()
+    print(f"single-launch correctness n={ns}: rel err {err:.2e}",
+          flush=True)
+    assert err < 1e-4, err
+
+    key = jax.random.PRNGKey(0)
+    W = jax.random.normal(key, (n, 256), dtype=jnp.float32)
+    K = W @ W.T + n * jnp.eye(n, dtype=jnp.float32)
+    flops = n**3 / 3.0
+    t = timed(lambda K: single_launch_cholesky(K), K, reps=6,
+              label=f"full single-launch pallas n={n}")
+    print(f"    -> {flops / t / 1e12:.2f} TFLOP/s", flush=True)
+    t = timed(lambda K: blocked_cholesky(K, block=1024)[0], K, reps=6,
+              label="full blocked (shipped)")
+    print(f"    -> {flops / t / 1e12:.2f} TFLOP/s", flush=True)
+
+
+# ---------------------------------------------------------------------------
 # 3. full factorization shootout at n=10240
 # ---------------------------------------------------------------------------
 
@@ -336,5 +548,7 @@ if __name__ == "__main__":
         study_gram()
     if which in ("all", "panel"):
         study_panel()
+    if which in ("all", "single"):
+        study_single_launch()
     if which in ("all", "full"):
         study_full()
