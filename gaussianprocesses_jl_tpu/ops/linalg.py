@@ -297,25 +297,25 @@ def tri_syrk_lower(Linv: jnp.ndarray, block: int = 2048,
     if n <= block:
         return jnp.matmul(Linv.T, Linv, precision=precision)
     nb = -(-n // block)
-    rows = []
+    # compute the lower block triangle once, then assemble rows mirroring
+    # the upper blocks from their transposes — assembling from the small
+    # blocks keeps peak memory at ~1.5x the output (a whole-matrix
+    # where(upper, Kl.T, Kl) mirror held 3 full n^2 buffers live and
+    # OOM'd the n=16384 Matern gradient on a 16 GB chip)
+    blocks = {}
     for i in range(nb):
         i0, i1 = i * block, min((i + 1) * block, n)
         Li = Linv[i0:, i0:i1]  # nonzero rows of block-column i
-        blocks = [
-            jnp.matmul(Li.T, Linv[i0:, j * block:min((j + 1) * block, n)],
-                       precision=precision)
-            for j in range(i + 1)
-        ]
-        row = jnp.concatenate(blocks, axis=1)
-        pad = n - row.shape[1]
-        if pad:
-            row = jnp.concatenate(
-                [row, jnp.zeros((i1 - i0, pad), Linv.dtype)], axis=1)
-        rows.append(row)
-    Kl = jnp.concatenate(rows, axis=0)  # lower blocks + full diag blocks
-    bidx = jnp.arange(n) // block
-    upper = bidx[None, :] > bidx[:, None]  # strictly-upper BLOCKS
-    return jnp.where(upper, Kl.T, Kl)
+        for j in range(i + 1):
+            j0, j1 = j * block, min((j + 1) * block, n)
+            blocks[(i, j)] = jnp.matmul(Li.T, Linv[i0:, j0:j1],
+                                        precision=precision)
+    rows = []
+    for i in range(nb):
+        row = [blocks[(i, j)] if j <= i else blocks[(j, i)].T
+               for j in range(nb)]
+        rows.append(jnp.concatenate(row, axis=1))
+    return jnp.concatenate(rows, axis=0)
 
 
 # Precision of the gradient-only K^-1 GEMM in the backward pass. HIGHEST
