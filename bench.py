@@ -369,17 +369,18 @@ def bench_gpa_ess(n=200, d=5, chains=128, n_iter=400, warmup=100,
     wall = time.perf_counter() - t0
 
     post = samples[:, warmup * draws_per_iter:, :]  # (C, n_kept, D)
-    from gaussianprocesses_jl_tpu.inference.diagnostics import split_rhat
-
-    if post.size > 500_000_000:
-        # the draws alone approach HBM capacity at 1024 chains x 16
-        # draws/iter; run the diagnostics on the host CPU backend
+    # the rank-normalized diagnostics argsort pooled draws — run on the
+    # host CPU backend beyond ~20M elements (TPU sort workspace
+    # RESOURCE_EXHAUSTs at 1024-chain sizes; r5)
+    if post.size > 20_000_000:
         post = np.asarray(post)
         del samples
-        with jax.default_device(jax.devices("cpu")[0]):
-            ess = np.asarray(effective_sample_size(post))
-            rhat = np.asarray(split_rhat(post))
+        ess, rhat = _diag_host(post)
     else:
+        from gaussianprocesses_jl_tpu.inference.diagnostics import (
+            split_rhat,
+        )
+
         ess = np.asarray(effective_sample_size(post))
         rhat = np.asarray(split_rhat(post))
     out = {
@@ -433,6 +434,24 @@ def bench_gpa_chains_scaling(chain_counts=(16, 64, 256, 1024)):
     return table
 
 
+def _diag_host(post):
+    """(ess, rhat) computed on the host CPU backend. The rank-normalized
+    diagnostics argsort the pooled (C*n, D) draws; at 1024-chain sizes
+    the TPU sort workspace RESOURCE_EXHAUSTs the chip (observed r5), and
+    the host sort of ~100M floats costs seconds."""
+    import jax
+
+    from gaussianprocesses_jl_tpu.inference.diagnostics import (
+        effective_sample_size,
+        split_rhat,
+    )
+
+    post = np.asarray(post)
+    with jax.default_device(jax.devices("cpu")[0]):
+        return (np.asarray(effective_sample_size(post)),
+                np.asarray(split_rhat(post)))
+
+
 def _mode_analysis(post, rhat):
     """Decompose an apparently non-mixing ensemble into modes along the
     worst-R-hat coordinate (VERDICT r4 item 3: the config-#5
@@ -443,11 +462,6 @@ def _mode_analysis(post, rhat):
     per-mode occupancy, per-mode rank-normalized R-hat and
     between-chain-aware ESS, and the fraction of chains whose draws
     visit both sides (actual mode switching, not just spread)."""
-    from gaussianprocesses_jl_tpu.inference.diagnostics import (
-        effective_sample_size,
-        split_rhat,
-    )
-
     d = int(np.nanargmax(rhat))
     x = post[:, :, d]
     cm = np.sort(x.mean(axis=1))
@@ -465,8 +479,7 @@ def _mode_analysis(post, rhat):
         sel = post[assign == mode]
         entry = {"chains": int((assign == mode).sum())}
         if entry["chains"] >= 2:
-            rh = np.asarray(split_rhat(sel))
-            es = np.asarray(effective_sample_size(sel))
+            es, rh = _diag_host(sel)
             entry.update({"rhat_max": round(float(np.nanmax(rh)), 4),
                           "ess_min": round(float(es.min()), 1),
                           "ess_median": round(float(np.median(es)), 1)})
@@ -474,9 +487,15 @@ def _mode_analysis(post, rhat):
     return out
 
 
-def bench_student_t_1024(chains=1024, n_iter=400, warmup=200,
-                         ess_iters=300, split_iter=300, split_warmup=100,
-                         a_iters=8):
+def bench_student_t_1024(chains=1024, n_iter=1000, warmup=400,
+                         ess_iters=300, split_iter=2000, split_warmup=200,
+                         a_iters=4):
+    # Iteration counts sized by the r5 mode analysis: the slow direction
+    # is the kernel log-lengthscale (integrated autocorrelation ~100s of
+    # outer iterations — a continuum ridge, not discrete modes: 15-35%
+    # of chains cross the fitted threshold), so the split run spends its
+    # budget on MANY outer (B-block) updates with a_iters=4 rather than
+    # deep latent sweeps.
     """BASELINE config #5 as specified: multi-chain sampling + ESS on
     Student-t robust regression (ref notebooks "Regression with
     outliers.ipynb", src/likelihoods/studentT.jl) at 1024 chains with
@@ -548,8 +567,7 @@ def bench_student_t_1024(chains=1024, n_iter=400, warmup=200,
     wall = time.perf_counter() - t0
 
     post = np.asarray(res.samples)  # (C, n_iter, D)
-    ess = np.asarray(effective_sample_size(post))
-    rhat = np.asarray(split_rhat(post))
+    ess, rhat = _diag_host(post)
 
     # --- factor-cached split-block sampler with collective per-block
     # --- adaptation: [v; lsigma] against the cached factor / [kern]
@@ -563,22 +581,25 @@ def bench_student_t_1024(chains=1024, n_iter=400, warmup=200,
         k_s, (chains, D), dtype=x0s.dtype)
     seg_s = max(10, min(split_warmup + split_iter,
                         int(30_000 / max(chains, 1))))
+    # long B trajectories (Lmax_b=40): the slow direction is the kernel
+    # log-lengthscale ridge; tau across a ridge scales ~1/(L*eps)^2, and
+    # the r5 mode analysis showed a decaying-R-hat continuum, not modes
     r0s = sharded_split_hmc(precompute, lp_a, lp_b, starts_s, k_s, mesh,
                             na, n_iter=1, a_iters=a_iters, n_warmup=1,
-                            eps_a0=0.2, eps_b0=0.05,
-                            segment_iters=seg_s)
+                            eps_a0=0.2, eps_b0=0.05, Lmin_b=20,
+                            Lmax_b=40, segment_iters=seg_s)
     _sync(r0s.final_target)
     t0s = time.perf_counter()
     res_s = sharded_split_hmc(precompute, lp_a, lp_b, starts_s,
                               jax.random.fold_in(k_s, 1), mesh, na,
                               n_iter=split_iter, n_warmup=split_warmup,
                               a_iters=a_iters, eps_a0=0.2, eps_b0=0.05,
+                              Lmin_b=20, Lmax_b=40,
                               target_accept=0.8, segment_iters=seg_s)
     _sync(res_s.final_target)
     wall_s = time.perf_counter() - t0s
     post_s = np.asarray(res_s.samples)  # (C, split_iter * a_iters, D)
-    ess_s = np.asarray(effective_sample_size(post_s))
-    rhat_s = np.asarray(split_rhat(post_s))
+    ess_s, rhat_s = _diag_host(post_s)
     split_out = {
         "iters_post_warmup": split_iter,
         "warmup": split_warmup,
@@ -620,7 +641,7 @@ def bench_student_t_1024(chains=1024, n_iter=400, warmup=200,
     _sync(res_e.final_loglik)
     wall_e = time.perf_counter() - t1
     post_e = np.asarray(res_e.samples)[:, ess_iters // 3:, :]
-    ess_e = np.asarray(effective_sample_size(post_e))
+    ess_e, _ = _diag_host(post_e)
 
     hmc_out = {
         "iters_post_warmup": n_iter,
@@ -960,6 +981,25 @@ def main():
             "value": best.get("ess_per_sec_median"),
             "unit": "eff samples/s/chip (median)",
             "student_t_1024": out}))
+        return
+    if "--gpa-validated" in sys.argv:
+        # long-chain full-validity run of the headline sampler metric:
+        # enough draws that the rank-normalized folded R-hat gate
+        # (< 1.01) can actually be met, with the between-chain-aware ESS
+        out = bench_gpa_ess(chains=64, n_iter=4800, warmup=800)
+        out["measured_at"] = _now_iso()
+        final["done"] = True
+        detail = dict(prev)
+        detail["gpa_classification_ess_validated"] = out
+        detail["date"] = _now_iso()
+        with open("BENCH_DETAIL.json", "w") as fh:
+            json.dump(detail, fh, indent=1)
+        print(compact_line({
+            "metric": "GPA classification eff samples/s/chip "
+                      "(64-chain validity run)",
+            "value": out["ess_per_sec_median"],
+            "unit": "eff samples/s/chip (median)",
+            "gpa_classification_ess": out}))
         return
     if "--kernels16k" in sys.argv:
         table = bench_kernel_table_16k()

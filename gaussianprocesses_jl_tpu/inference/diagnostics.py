@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["effective_sample_size", "split_rhat", "rank_normalize"]
 
@@ -58,16 +59,33 @@ def rank_normalize(samples):
     """Pooled-rank normal scores (Vehtari et al. 2021, eq. 14).
 
     samples: (C, n, D). Ranks are computed over the POOLED C*n draws per
-    dimension (double argsort — ordinal ranks; ties are measure-zero for
-    continuous samplers) and mapped through the normal quantile function
-    with the Blom offset z = ndtri((r - 3/8) / (S + 1/4))."""
+    dimension (ordinal ranks; ties are measure-zero for continuous
+    samplers) and mapped through the normal quantile function with the
+    Blom offset z = ndtri((r - 3/8) / (S + 1/4)).
+
+    A numpy input takes a HOST fast path (np.argsort +
+    put_along_axis + scipy ndtri, returning np.ndarray): jax-CPU sorts
+    of pooled 1024-chain runs measured ~10x slower and the original
+    scatter formulation effectively hung (observed r5). Traced/jnp
+    inputs use the jit-able double-argsort form."""
     C, n, D = samples.shape
+    if isinstance(samples, np.ndarray):
+        from scipy.special import ndtri as _ndtri
+
+        flat = samples.reshape(C * n, D)
+        order = np.argsort(flat, axis=0, kind="stable")
+        ranks = np.empty((C * n, D), np.int64)
+        np.put_along_axis(
+            ranks, order, np.arange(C * n, dtype=np.int64)[:, None],
+            axis=0)
+        z = _ndtri((ranks + (1.0 - 0.375)) / (C * n + 0.25))
+        return z.reshape(C, n, D).astype(samples.dtype)
     flat = samples.reshape(C * n, D)
-    order = jnp.argsort(flat, axis=0)
-    ranks = jnp.zeros((C * n, D), flat.dtype).at[
-        order, jnp.arange(D)[None, :]].set(
-        jnp.arange(1, C * n + 1, dtype=flat.dtype)[:, None])
-    z = jax.scipy.special.ndtri((ranks - 0.375) / (C * n + 0.25))
+    # rank via double argsort (argsort of the permutation is its
+    # inverse) — no scatter buffers on device
+    ranks = jnp.argsort(jnp.argsort(flat, axis=0), axis=0)
+    z = jax.scipy.special.ndtri(
+        (ranks.astype(flat.dtype) + (1.0 - 0.375)) / (C * n + 0.25))
     return z.reshape(C, n, D)
 
 
@@ -128,11 +146,13 @@ def effective_sample_size(samples, max_workspace_elems: int = 1 << 25,
     n=38400, D=206); dimensions are processed in sequential chunks sized
     so the workspace stays under `max_workspace_elems` complex entries
     (default ~256 MB of complex64)."""
-    samples = jnp.asarray(samples)
+    if not isinstance(samples, np.ndarray):
+        samples = jnp.asarray(samples)
     if samples.ndim == 2:
         samples = samples[None]
     if rank_normalized:
-        samples = rank_normalize(samples)
+        samples = rank_normalize(samples)  # host fast path for np input
+    samples = jnp.asarray(samples)
     s = _split_chains(samples)  # (2C, n//2, D)
     m, n, D = s.shape
 
@@ -168,11 +188,14 @@ def split_rhat(samples):
     posterior (config #5) — under-trigger the raw-scale diagnostic; this
     is the form every published metric is gated on (R-hat < 1.01).
 
-    samples: (n, D) or (C, n, D). Returns (D,)."""
-    samples = jnp.asarray(samples)
+    samples: (n, D) or (C, n, D). Returns (D,). A numpy input keeps the
+    rank computation on the host fast path (see rank_normalize)."""
+    xp = np if isinstance(samples, np.ndarray) else jnp
+    if not isinstance(samples, np.ndarray):
+        samples = jnp.asarray(samples)
     if samples.ndim == 2:
         samples = samples[None]
     bulk = _split_rhat_raw(rank_normalize(samples))
-    med = jnp.median(samples, axis=(0, 1), keepdims=True)
-    tail = _split_rhat_raw(rank_normalize(jnp.abs(samples - med)))
+    med = xp.median(samples, axis=(0, 1), keepdims=True)
+    tail = _split_rhat_raw(rank_normalize(xp.abs(samples - med)))
     return jnp.maximum(bulk, tail)

@@ -268,6 +268,7 @@ def sharded_split_hmc(precompute, logprob_a, logprob_b, theta0, key,
                       n_iter: int = 1000, a_iters: int = 8,
                       n_warmup: int = 0, eps_a0: float = 0.2,
                       eps_b0: float = 0.05, Lmin: int = 5, Lmax: int = 15,
+                      Lmin_b: int | None = None, Lmax_b: int | None = None,
                       target_accept: float = 0.8,
                       segment_iters: int | None = None
                       ) -> ShardedSplitHMCResult:
@@ -288,8 +289,16 @@ def sharded_split_hmc(precompute, logprob_a, logprob_b, theta0, key,
     n_iter * a_iters post-warmup rows per chain and `warmup_samples`
     the n_warmup * a_iters warmup rows, so ESS over warmup draws can't
     happen by accident. segment_iters bounds single device executions
-    as in sharded_hmc."""
+    as in sharded_hmc.
+
+    Lmin_b/Lmax_b give the B (kernel) block its own leapfrog path length
+    (default: the shared Lmin/Lmax, matching split_hmc): slow continuum
+    directions like a weakly-identified log-lengthscale need long B
+    trajectories (tau scales ~ 1/(L*eps)^2 across a posterior ridge)
+    while the well-conditioned whitened latents do not."""
     C, D = theta0.shape
+    Lmin_b = Lmin if Lmin_b is None else Lmin_b
+    Lmax_b = Lmax if Lmax_b is None else Lmax_b
     n_dev = mesh.shape[axis]
     if C % n_dev:
         raise ValueError(f"{C} chains not divisible by {n_dev} devices")
@@ -358,8 +367,8 @@ def sharded_split_hmc(precompute, logprob_a, logprob_b, theta0, key,
             vg = jax.value_and_grad(lambda x: logprob_b(x, a_i))
             t_i, g_i = vg(b_i)
             g_i = jnp.where(jnp.isfinite(g_i), g_i, 0.0)
-            return hmc_iteration(vg, b_i, t_i, g_i, k_i, eps_b, Lmin,
-                                 Lmax)
+            return hmc_iteration(vg, b_i, t_i, g_i, k_i, eps_b, Lmin_b,
+                                 Lmax_b)
 
         b, t_b, _, ap_b, acc_b_d = jax.vmap(chain_b)(b, a, keys_b)
 

@@ -52,7 +52,13 @@ def sharded_vi(gp, mesh: Mesh, *, axis: str = "chains",
     Restart 0 starts at the prior initialization (exactly vi()'s start);
     the rest jitter [m; rho] by `jitter` * N(0, I). Each restart runs
     `nits` Adam steps inside one jitted shard_map; returns the best
-    restart by final ELBO. R must be divisible by the axis size."""
+    restart by final ELBO. R must be divisible by the axis size.
+
+    This scales the RESTART axis (each device optimizes the replicated
+    full-batch objective for its own starts); to scale the OBSERVATION
+    axis instead — every device computing only its shard of the
+    per-observation work, forward and backward — use
+    `sharded_vi_train`."""
     import optax
 
     neg_elbo, theta0, n = make_neg_elbo(gp)

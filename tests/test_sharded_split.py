@@ -108,6 +108,26 @@ def test_sharded_split_validates_divisibility(model):
                           make_mesh({"chains": 8}), na, n_iter=2)
 
 
+def test_sharded_split_per_block_path_length(model):
+    """Lmin_b/Lmax_b give the B block its own trajectory length; the
+    default must reproduce the shared-L behaviour bit-exactly."""
+    pc, la, lb, na, th = _starts(model, 8, jax.random.PRNGKey(12))
+    mesh = make_mesh({"chains": 8})
+    key = jax.random.PRNGKey(13)
+    kw = dict(n_iter=8, a_iters=2, eps_a0=0.2, eps_b0=0.05)
+    r_def = sharded_split_hmc(pc, la, lb, th, key, mesh, na, **kw)
+    r_same = sharded_split_hmc(pc, la, lb, th, key, mesh, na,
+                               Lmin_b=5, Lmax_b=15, **kw)
+    assert np.array_equal(np.asarray(r_def.samples),
+                          np.asarray(r_same.samples))
+    r_long = sharded_split_hmc(pc, la, lb, th, key, mesh, na,
+                               Lmin_b=20, Lmax_b=30, **kw)
+    assert np.all(np.isfinite(np.asarray(r_long.samples)))
+    # longer trajectories genuinely change the B-block draws
+    assert not np.array_equal(np.asarray(r_long.samples[:, :, na:]),
+                              np.asarray(r_def.samples[:, :, na:]))
+
+
 def test_sharded_split_records_pre_update_b(model):
     """Each recorded draw must pair a_i with the kernel block b that was
     IN FORCE during the A sweep — not the b sampled afterwards (ADVICE r4
