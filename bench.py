@@ -581,20 +581,20 @@ def bench_student_t_1024(chains=1024, n_iter=1000, warmup=400,
         k_s, (chains, D), dtype=x0s.dtype)
     seg_s = max(10, min(split_warmup + split_iter,
                         int(30_000 / max(chains, 1))))
-    # long B trajectories (Lmax_b=40): the slow direction is the kernel
-    # log-lengthscale ridge; tau across a ridge scales ~1/(L*eps)^2, and
-    # the r5 mode analysis showed a decaying-R-hat continuum, not modes
+    # short B trajectories: long ones (Lmax_b=40) were measured NOT to
+    # reduce R-hat (1.2442 vs 1.2427 at equal iterations) while costing
+    # 2.5x the wall — the binding constraint is the latent/kernel Gibbs
+    # coupling, not path length (perf/README.md 5c)
     r0s = sharded_split_hmc(precompute, lp_a, lp_b, starts_s, k_s, mesh,
                             na, n_iter=1, a_iters=a_iters, n_warmup=1,
-                            eps_a0=0.2, eps_b0=0.05, Lmin_b=20,
-                            Lmax_b=40, segment_iters=seg_s)
+                            eps_a0=0.2, eps_b0=0.05,
+                            segment_iters=seg_s)
     _sync(r0s.final_target)
     t0s = time.perf_counter()
     res_s = sharded_split_hmc(precompute, lp_a, lp_b, starts_s,
                               jax.random.fold_in(k_s, 1), mesh, na,
                               n_iter=split_iter, n_warmup=split_warmup,
                               a_iters=a_iters, eps_a0=0.2, eps_b0=0.05,
-                              Lmin_b=20, Lmax_b=40,
                               target_accept=0.8, segment_iters=seg_s)
     _sync(res_s.final_target)
     wall_s = time.perf_counter() - t0s
