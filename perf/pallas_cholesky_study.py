@@ -287,10 +287,11 @@ def study_launch_overhead():
 # ---------------------------------------------------------------------------
 
 
-def _chol_inv_block_val(P, T=128):
-    """Value-based fused Cholesky + inverse of one (B, B) PSD block
-    (the _panel_kernel algorithm on jnp values, for use inside a larger
-    kernel). Returns (L, Linv), both lower-triangular."""
+def _chol_inv_block_ref(P, ld_ref, linv_ref, T=128):
+    """Fused Cholesky + inverse of one (B, B) PSD block written into VMEM
+    scratch refs (the _panel_kernel algorithm; Mosaic has no
+    dynamic_update_slice on values, so block assembly goes through refs
+    with static slices)."""
     B = P.shape[0]
     nt = B // T
     f32 = jnp.float32
@@ -299,8 +300,8 @@ def _chol_inv_block_val(P, T=128):
     rowT2 = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     eyeT = jnp.where(rowT2 == colT2, 1.0, 0.0).astype(f32)
 
-    L = jnp.zeros((B, B), f32)
-    Linv = jnp.zeros((B, B), f32)
+    ld_ref[:] = jnp.zeros((B, B), f32)
+    linv_ref[:] = jnp.zeros((B, B), f32)
 
     for kt in range(nt):
         j0 = kt * T
@@ -308,7 +309,7 @@ def _chol_inv_block_val(P, T=128):
         rowM = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
         P0 = P[j0:, j0:j0 + T]
         if kt > 0:
-            P0 = P0 - jnp.dot(L[j0:, :j0], L[j0:j0 + T, :j0].T,
+            P0 = P0 - jnp.dot(ld_ref[j0:, :j0], ld_ref[j0:j0 + T, :j0].T,
                               preferred_element_type=f32)
 
         def col_step(j, Pv):
@@ -321,7 +322,7 @@ def _chol_inv_block_val(P, T=128):
             return jnp.where(cmask, col, Pv)
 
         Pf = jax.lax.fori_loop(0, T, col_step, P0)
-        L = jax.lax.dynamic_update_slice(L, Pf, (j0, j0))
+        ld_ref[j0:, j0:j0 + T] = Pf
 
         Ld = Pf[:T, :]
 
@@ -336,21 +337,20 @@ def _chol_inv_block_val(P, T=128):
             return jnp.where(rmask, (ei - contrib) / ldii, X)
 
         X = jax.lax.fori_loop(0, T, fs_step, eyeT)
-        Linv = jax.lax.dynamic_update_slice(Linv, X, (j0, j0))
+        linv_ref[j0:j0 + T, j0:j0 + T] = X
 
     for i in range(1, nt):
         for j in range(i):
-            Lij = L[i * T:(i + 1) * T, j * T:i * T]
-            Vj = Linv[j * T:i * T, j * T:(j + 1) * T]
+            Lij = ld_ref[i * T:(i + 1) * T, j * T:i * T]
+            Vj = linv_ref[j * T:i * T, j * T:(j + 1) * T]
             S = jnp.dot(Lij, Vj, preferred_element_type=jnp.float32)
-            Di = Linv[i * T:(i + 1) * T, i * T:(i + 1) * T]
-            Linv = jax.lax.dynamic_update_slice(
-                Linv, -jnp.dot(Di, S, preferred_element_type=jnp.float32),
-                (i * T, j * T))
-    return L, Linv
+            Di = linv_ref[i * T:(i + 1) * T, i * T:(i + 1) * T]
+            linv_ref[i * T:(i + 1) * T, j * T:(j + 1) * T] = -jnp.dot(
+                Di, S, preferred_element_type=jnp.float32)
 
 
-def _single_launch_kernel(n, B, R, in_ref, out_ref, acc, tbuf, lkj, sems):
+def _single_launch_kernel(n, B, R, in_ref, out_ref, acc, tbuf, lkj,
+                          ld_s, linv_s, sems):
     """One grid step = one panel of the left-looking factorization.
 
     out_ref aliases the input in HBM; acc holds the current (n, B) panel
@@ -394,7 +394,8 @@ def _single_launch_kernel(n, B, R, in_ref, out_ref, acc, tbuf, lkj, sems):
 
     # 3. diagonal block: fused chol + inverse, fully in VMEM
     D = acc[pl.ds(c, B), :]
-    Ld, Linv = _chol_inv_block_val(D)
+    _chol_inv_block_ref(D, ld_s, linv_s)
+    Ld, Linv = ld_s[:], linv_s[:]
 
     # 4. below-diagonal apply + masking, tile by tile
     rowR = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
@@ -447,6 +448,8 @@ def single_launch_cholesky(K, B=256, R=1024):
             pltpu.VMEM((n, B), jnp.float32),   # acc: the panel column
             pltpu.VMEM((R, B), jnp.float32),   # tbuf: streamed L tiles
             pltpu.VMEM((B, B), jnp.float32),   # lkj: panel-row block
+            pltpu.VMEM((B, B), jnp.float32),   # ld_s: diag-block L
+            pltpu.VMEM((B, B), jnp.float32),   # linv_s: its inverse
             pltpu.SemaphoreType.DMA((3,)),
         ],
         input_output_aliases={0: 0},
